@@ -1,0 +1,266 @@
+"""svinet-compatible command-line driver.
+
+Accepts the reference's flag names (reference: src/main.cc:114-242,
+documented in detailed_readme.txt:3-48) and dispatches with the same
+precedence (src/main.cc:268-377): gen -> ppc -> lcstats -> gml -> findk ->
+orig -> link-sampling -> single (SBM) -> batch -> infset ->
+stratified-rnode -> default MMSBInfer.
+
+Usage:  python -m svinet_tpu -file net.txt -n 1000 -k 28 -link-sampling
+"""
+
+from __future__ import annotations
+
+import signal
+import sys
+from typing import List, Optional
+
+from svinet_tpu.config import Config
+from svinet_tpu.graph import Network
+
+USAGE = """\
+SVINET-TPU: TPU-native stochastic variational inference of undirected networks
+svinet [OPTIONS]
+\t-help\t\tusage
+\t-file <name>\tinput tab-separated file with a list of undirected links
+\t-n <N>\t\tnumber of nodes in network
+\t-k <K>\t\tnumber of communities
+\t-batch\t\trun batch variational inference
+\t-stratified\tuse stratified sampling (with -rpair or -rnode)
+\t-rnode\t\tinference using random node sampling
+\t-rpair\t\tinference using random pair sampling
+\t-link-sampling\tinference using link sampling
+\t-infset\t\tinference using informative set sampling
+\t-preprocess\tpreprocess to run informative set sampling
+\t-findk\t\testimate the number of communities
+\t-single\t\tstochastic blockmodel inference
+\t-orig\t\tfull-blockmodel (Airoldi et al.) batch inference
+\t-gen\t\tgenerate a network from the model
+\t-ppc\t\tposterior predictive checks
+\t-gml\t\tgenerate a GML visualization of link communities
+\t-nmi <file>\tground-truth communities file; logs NMI per report
+\t-rfreq <R>\treport/convergence frequency in iterations
+\t-max-iterations <M>\tmaximum iterations (use with -no-stop)
+\t-no-stop\tdisable stopping criteria
+\t-seed <S>\trandom seed
+\t-eta-type <t>\tuniform | fromdata | sparse | dense
+\t-heldout-ratio <r>\tfraction of links held out
+\t-label <s>\ttag output directory
+"""
+
+
+def parse_args(argv: List[str]) -> Config:
+    cfg = Config()
+    rfreq_set = False
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+
+        def nxt() -> str:
+            nonlocal i
+            i += 1
+            if i >= len(argv):
+                print("+ insufficient arguments!", file=sys.stderr)
+                sys.exit(-1)
+            return argv[i]
+
+        if a == "-help":
+            print(USAGE)
+            sys.exit(0)
+        elif a == "-file":
+            cfg.datfname = nxt()
+        elif a == "-n":
+            cfg.n = int(nxt())
+        elif a == "-k":
+            cfg.k = int(nxt())
+        elif a == "-link-sampling":
+            cfg.link_sampling = True
+        elif a == "-batch":
+            cfg.batch = True
+            cfg.reportfreq = 1
+            rfreq_set = True
+        elif a == "-stratified":
+            cfg.stratified = True
+        elif a == "-rnode":
+            cfg.randomnode = True
+        elif a == "-rpair":
+            cfg.randompair = True
+        elif a == "-findk":
+            cfg.findk = True
+        elif a == "-single":
+            cfg.single = True
+        elif a == "-orig":
+            cfg.orig = True
+        elif a == "-infset":
+            cfg.informative_sampling = True
+        elif a == "-preprocess":
+            cfg.preprocess = True
+            cfg.informative_sampling = True
+        elif a == "-randzeros":
+            cfg.randzeros = True
+        elif a == "-gen":
+            cfg.gen = True
+        elif a == "-ppc":
+            cfg.ppc = True
+        elif a == "-lcstats":
+            cfg.lcstats = True
+        elif a == "-gml":
+            cfg.gml = True
+        elif a == "-nodelay":
+            cfg.delaylearn = False
+        elif a == "-nmi":
+            cfg.ground_truth_fname = nxt()
+            cfg.nmi = True
+        elif a == "-rfreq":
+            cfg.reportfreq = int(nxt())
+            rfreq_set = True
+        elif a == "-max-iterations":
+            cfg.max_iterations = int(nxt())
+        elif a == "-no-stop":
+            cfg.use_validation_stop = False
+        elif a == "-seed":
+            cfg.seed = int(float(nxt()))
+        elif a == "-eta-type":
+            cfg.eta_type = nxt()
+        elif a == "-heldout-ratio":
+            cfg.heldout_ratio = float(nxt())
+        elif a == "-label":
+            cfg.label = nxt()
+        elif a == "-load":
+            cfg.model_load = True
+            cfg.gamma_location = nxt()
+        elif a == "-load-validation":
+            cfg.load_heldout = True
+            cfg.load_heldout_fname = nxt()
+        elif a == "-load-test":
+            cfg.load_test = True
+            cfg.load_test_fname = nxt()
+        elif a == "-stopthresh":
+            cfg.stopthresh = float(nxt())
+        elif a == "-inf":
+            cfg.infthresh = float(nxt())
+        elif a == "-nonuniform":
+            cfg.nonuniform = True
+        elif a == "-strid":
+            cfg.strid = True
+        elif a == "-groups-file":
+            cfg.groups_file = nxt()
+        elif a == "-logl":
+            cfg.logl = True
+        elif a == "-link-thresh":
+            cfg.link_thresh = float(nxt())
+        elif a == "-lt-min-deg":
+            cfg.lt_min_deg = int(nxt())
+        elif a == "-scale":
+            cfg.subsample_scale = int(nxt())
+        elif a == "-accuracy":
+            cfg.accuracy = True
+        elif a == "-init-communities":
+            cfg.use_init_communities = True
+            cfg.init_communities_fname = nxt()
+        elif a == "-label":
+            cfg.label = nxt()
+        elif a in ("-force", "-online", "-gp", "-bmark", "-adamic-adar",
+                   "-load-test-sets", "-disjoint"):
+            pass  # accepted for compatibility
+        elif a == "-nthreads":
+            nxt()  # pthreads knob: N/A on TPU, accepted for compatibility
+        else:
+            print(f"+ unknown flag {a}", file=sys.stderr)
+            sys.exit(-1)
+        i += 1
+
+    # reference bumps rfreq to 100 in sampled modes unless given
+    if not rfreq_set and (cfg.randomnode or cfg.randompair or cfg.stratified):
+        cfg.reportfreq = 100
+    cfg.resolve()
+    return cfg
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(USAGE)
+        return -1
+    cfg = parse_args(argv)
+
+    if cfg.gen:
+        from svinet_tpu.svi.gen import MMSBGen
+        MMSBGen(cfg).gen()
+        return 0
+
+    network = Network(cfg)
+    network.read(cfg.datfname)
+    print(f"+ network: n = {network.n}, ones = {network.ones}, "
+          f"singles = {network.singles}")
+
+    # SIGTERM -> checkpoint and exit (reference: src/main.cc:29-46)
+    engine_box = {}
+
+    def _term(_sig, _frm):
+        eng = engine_box.get("engine")
+        if eng is not None:
+            eng.do_on_stop()
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _term)
+
+    if cfg.ppc:
+        from svinet_tpu.svi.gen import MMSBGen
+        MMSBGen(cfg, network).ppc()
+        return 0
+    if cfg.gml:
+        from svinet_tpu.svi.gen import MMSBGen
+        MMSBGen(cfg, network).gml()
+        return 0
+    if cfg.findk:
+        from svinet_tpu.svi.fastinit import FastInit
+        engine = FastInit(cfg, network)
+        engine_box["engine"] = engine
+        engine.batch_infer()
+        return 0
+    if cfg.orig:
+        from svinet_tpu.svi.orig import MMSBOrig
+        engine = MMSBOrig(cfg, network)
+        engine_box["engine"] = engine
+        engine.batch_infer()
+        return 0
+    if cfg.link_sampling:
+        from svinet_tpu.svi.linksampling import LinkSampling
+        engine = LinkSampling(cfg, network)
+        engine_box["engine"] = engine
+        engine.infer()
+        return 0
+    if cfg.single:
+        from svinet_tpu.svi.sbm import SBM
+        engine = SBM(cfg, network)
+        engine_box["engine"] = engine
+        if cfg.informative_sampling:
+            engine.infer()
+        else:
+            engine.batch_infer()
+        return 0
+    if cfg.batch:
+        from svinet_tpu.svi.mmsb import MMSBInfer
+        engine = MMSBInfer(cfg, network)
+        engine_box["engine"] = engine
+        engine.batch_infer()
+        return 0
+    if cfg.preprocess:
+        network.set_neighborhood_sets(cfg)
+        return 0
+    if cfg.informative_sampling:
+        from svinet_tpu.svi.fastamm import FastAMM
+        engine = FastAMM(cfg, network)
+        engine_box["engine"] = engine
+        engine.infer()
+        return 0
+    from svinet_tpu.svi.mmsb import MMSBInfer
+    engine = MMSBInfer(cfg, network)
+    engine_box["engine"] = engine
+    engine.infer()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

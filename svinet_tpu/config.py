@@ -1,0 +1,267 @@
+"""Run configuration.
+
+TPU-native equivalent of the reference's ``Env`` struct
+(reference: src/env.hh:52-671): every hyperparameter in one dataclass,
+the output-directory naming scheme (src/env.hh:503-568), and the
+``param.txt`` emission (src/env.hh:571-619).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class Config:
+    # --- core dimensions -------------------------------------------------
+    n: int = 0                      # number of nodes
+    k: int = 0                      # number of communities
+    t: int = 2                      # Beta variational params per community
+
+    # --- model hyperparameters (reference: src/env.hh:340-408) -----------
+    alpha: Optional[float] = None   # Dirichlet prior; default 1/k
+    epsilon: float = 1e-30          # cross-community link prob
+    eta_type: str = "uniform"       # uniform | fromdata | sparse | dense
+    eta0: float = 0.0               # resolved from eta_type at ingest
+    eta1: float = 0.0
+    # presets (reference: src/env.hh:371-376)
+    eta0_dense: float = 4700.59
+    eta1_dense: float = 0.77
+    eta0_uniform: float = 1.00
+    eta1_uniform: float = 1.00
+    eta0_sparse: float = 0.97
+    eta1_sparse: float = 6.33
+
+    # --- SVI learning-rate machinery (reference: src/env.hh:398-415) -----
+    tau0: float = 1024.0
+    kappa: float = 0.9
+    nodetau0: float = 1024.0
+    nodekappa: float = 0.5
+    online_iterations: int = 50     # max local-step fixed-point rounds
+    meanchangethresh: float = 1e-5  # local-step convergence threshold
+
+    # --- heldout / evaluation (reference: src/env.hh:362-369) ------------
+    heldout_ratio: float = 0.01
+    precision_ratio: float = 0.001
+    stopthresh: float = 1e-5
+    use_validation_stop: bool = True
+    reportfreq: int = 1
+    max_iterations: int = 0         # 0 = unlimited
+    link_thresh: float = 0.5
+    lt_min_deg: int = 0
+    create_test_precision_sets: bool = False
+
+    # --- mode flags (reference: src/main.cc:114-242) ----------------------
+    link_sampling: bool = False
+    batch: bool = False
+    stratified: bool = False
+    randomnode: bool = False
+    randompair: bool = False
+    informative_sampling: bool = False   # -infset
+    single: bool = False                 # -single (SBM)
+    orig: bool = False                   # -orig (full blockmodel)
+    findk: bool = False
+    gen: bool = False
+    ppc: bool = False
+    gml: bool = False
+    lcstats: bool = False
+    preprocess: bool = False
+    randzeros: bool = False
+    delaylearn: bool = True
+    nolambda: bool = False
+    undirected: bool = True
+    logl: bool = False
+    accuracy: bool = False
+    nonuniform: bool = False
+    strid: bool = False
+    disjoint: bool = False
+
+    # --- sampling sizes ---------------------------------------------------
+    s: int = 0                      # minibatch size (n/2 default, set at resolve)
+    subsample_scale: int = 1
+    infthresh: float = 0.0
+
+    # --- I/O ---------------------------------------------------------------
+    datfname: str = "network.dat"
+    label: str = ""
+    seed: int = 0
+    nmi: bool = False
+    ground_truth_fname: str = ""
+    groups_file: str = ""
+    model_load: bool = False
+    gamma_location: str = ""
+    load_heldout: bool = False
+    load_heldout_fname: str = ""
+    load_test: bool = False
+    load_test_fname: str = ""
+    use_init_communities: bool = False
+    init_communities_fname: str = ""
+    force_overwrite_dir: bool = True
+    outdir: str = ""                # resolved by resolve()
+
+    # --- generator / ppc ---------------------------------------------------
+    ppc_ndraws: int = 100
+    eta0_gen: float = 4700.59
+    eta1_gen: float = 0.77
+
+    # --- TPU execution -----------------------------------------------------
+    num_devices: int = 0            # 0 = all visible devices
+    edge_block: int = 8192          # padding granularity for edge arrays
+    dtype: str = "float32"
+
+    # runtime-resolved (not user-set)
+    total_pairs: int = field(default=0, repr=False)
+    ones_prob: float = field(default=0.0, repr=False)
+    zeros_prob: float = field(default=0.0, repr=False)
+
+    def resolve(self) -> "Config":
+        """Fill in derived defaults (alpha=1/k, minibatch size, outdir name)."""
+        if self.alpha is None and self.k > 0:
+            self.alpha = 1.0 / self.k
+        if self.s == 0 and self.n > 0:
+            self.s = self.n // 2
+        if not self.outdir:
+            self.outdir = self._default_outdir()
+        if self.batch or self.link_sampling:
+            # reference forces rfreq=1 in these modes (src/main.cc:146-153)
+            pass
+        return self
+
+    def _default_outdir(self) -> str:
+        """Output-dir naming scheme (reference: src/env.hh:503-568)."""
+        if self.gml:
+            return "gml"
+        parts = []
+        if self.gen:
+            parts.append("gend-" if self.disjoint else "gen-")
+            parts.append(f"n{self.n}-k{self.k}-")
+            if self.eta0_gen == self.eta0_sparse:
+                parts.append("sparse")
+            elif self.eta0_gen == self.eta0_dense:
+                parts.append("dense")
+            else:
+                parts.append("regular")
+            return "".join(parts)
+        parts.append(f"n{self.n}-k{self.k}")
+        if self.label:
+            parts.append(self.label)
+        elif len(self.datfname) > 3 and "mmsb_gen.dat" not in self.datfname:
+            q = os.path.basename(self.datfname)[:2]
+            parts.append("xx" if q == ".." else q)
+        if self.seed:
+            parts.append(f"seed{self.seed}")
+        if self.batch:
+            parts.append("batch")
+        elif self.single:
+            parts.append("sbm")
+        elif self.informative_sampling:
+            parts.append("infset")
+        elif self.link_sampling:
+            parts.append("linksampling")
+        elif self.findk:
+            parts.append("findk")
+        else:
+            tag = ""
+            if self.subsample_scale > 1:
+                tag += f"scale{self.subsample_scale}-"
+            if self.stratified:
+                tag += "S"
+            if self.delaylearn:
+                tag += "U"
+            if self.nolambda:
+                tag += "P"
+            if self.randompair:
+                tag += "rpair"
+            if self.randomnode:
+                tag += "rnode"
+            if self.nonuniform:
+                tag += "R"
+            if tag:
+                parts.append(tag)
+        return "-".join(parts)
+
+    # ------------------------------------------------------------------
+    def set_eta(self, total_pairs: int, ones: int) -> None:
+        """Resolve eta from eta_type (reference: src/network.cc:222-251)."""
+        self.total_pairs = total_pairs
+        self.ones_prob = float(ones) / total_pairs if total_pairs else 0.0
+        self.zeros_prob = 1.0 - self.ones_prob
+        if self.eta_type == "fromdata":
+            self.eta0 = total_pairs * self.ones_prob / self.k
+            self.eta1 = total_pairs * 1.0 / (self.k * self.k) - self.eta0
+            if self.eta1 <= 0:
+                self.eta1 = 1.0
+        elif self.eta_type == "uniform":
+            self.eta0 = self.eta0_uniform
+            self.eta1 = self.eta1_uniform
+        elif self.eta_type == "sparse":
+            self.eta0 = self.eta0_sparse
+            self.eta1 = self.eta1_sparse
+        elif self.eta_type == "dense":
+            self.eta0 = self.eta0_dense
+            self.eta1 = self.eta1_dense
+        else:
+            raise ValueError(f"unknown eta_type {self.eta_type!r}")
+
+    # ------------------------------------------------------------------
+    def file_str(self, name: str) -> str:
+        """Path of an output file inside the run's output directory."""
+        return os.path.join(self.outdir, name.lstrip("/"))
+
+    def make_outdir(self) -> None:
+        os.makedirs(self.outdir, exist_ok=True)
+
+    def write_param_txt(self) -> None:
+        """Emit param.txt with every effective parameter
+        (reference: src/env.hh:571-619)."""
+        self.make_outdir()
+        rows = [
+            ("nodes", self.n),
+            ("groups", self.k),
+            ("t", self.t),
+            ("minibatch (rpair or stratified rpair options only)", self.s),
+            ("alpha", _f(self.alpha or 0.0)),
+            ("heldout_ratio", _f(self.heldout_ratio)),
+            ("precision_ratio", _f(self.precision_ratio)),
+            ("stratified", self.stratified),
+            ("delaylearn", self.delaylearn),
+            ("nolambda", self.nolambda),
+            ("randomnode", self.randomnode),
+            ("gen", self.gen),
+            ("undirected", self.undirected),
+            ("stopthresh", _f(self.stopthresh)),
+            ("infthresh", _f(self.infthresh)),
+            ("randzeros", self.randzeros),
+            ("max iterations", self.max_iterations),
+            ("seed", _f(self.seed)),
+            ("use validation stop", self.use_validation_stop),
+            ("gamma location", self.gamma_location),
+            ("link_thresh", _f(self.link_thresh)),
+            ("lt_min_deg", self.lt_min_deg),
+            ("epsilon", _f(self.epsilon)),
+            ("reportfreq", self.reportfreq),
+            ("eta_type", self.eta_type),
+            ("eta0", _f(self.eta0)),
+            ("eta1", _f(self.eta1)),
+            ("tau0", _f(self.tau0)),
+            ("kappa", _f(self.kappa)),
+            ("nodetau0", _f(self.nodetau0)),
+            ("nodekappa", _f(self.nodekappa)),
+        ]
+        with open(self.file_str("param.txt"), "w") as f:
+            for key, val in rows:
+                f.write(f"{key}: {val}\n")
+
+    def plog(self, key: str, val) -> None:
+        """Append a key:value line to param.txt (reference: Env::plog)."""
+        self.make_outdir()
+        with open(self.file_str("param.txt"), "a") as f:
+            f.write(f"{key}: {val}\n")
+
+
+def _f(x: float) -> str:
+    return f"{x:.9f}"

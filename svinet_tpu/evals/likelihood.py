@@ -1,0 +1,71 @@
+"""Held-out edge likelihood — the convergence metric.
+
+Mixture likelihood of a pair under the a-MMSB posterior point estimates
+(reference: LinkSampling::edge_likelihood, src/linksampling.hh:258-292):
+
+  y=1:  s = sum_k  pi_p[k] pi_q[k] beta_k
+  y=0:  s = sum_k  pi_p[k] pi_q[k] (1-beta_k) + (1 - sum_k pi_p[k] pi_q[k])(1-eps)
+
+with s clamped at 1e-30 before the log. The summary row written per report
+(reference: LinkSampling::validation_likelihood, src/linksampling.cc:966-1001)
+splits the average log-likelihood by links/nonlinks and combines them at
+network sparsity: nshol = zeros_prob*avg0 + ones_prob*avg1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class HeldoutResult(NamedTuple):
+    avg: float      # mean log-likelihood over all heldout pairs
+    count: int
+    avg0: float     # mean over nonlinks
+    count0: int
+    avg1: float     # mean over links
+    count1: int
+
+    def nshol(self, zeros_prob: float, ones_prob: float) -> float:
+        return zeros_prob * self.avg0 + ones_prob * self.avg1
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _heldout_sums(gamma, lam, pairs, y, epsilon):
+    pi = gamma / gamma.sum(axis=1, keepdims=True)
+    beta = lam[:, 0] / (lam[:, 0] + lam[:, 1])
+    pp = pi[pairs[:, 0]]
+    qq = pi[pairs[:, 1]]
+    prod = pp * qq
+    inner = prod.sum(axis=-1)
+    s_one = (prod * beta).sum(axis=-1)
+    s_zero = (prod * (1.0 - beta)).sum(axis=-1) + (1.0 - inner) * (1.0 - epsilon)
+    s = jnp.where(y == 1, s_one, s_zero)
+    ll = jnp.log(jnp.maximum(s, 1e-30))
+    ones = (y == 1)
+    return jnp.array([
+        ll.sum(), ll.shape[0],
+        jnp.where(ones, 0.0, ll).sum(), (~ones).sum(),
+        jnp.where(ones, ll, 0.0).sum(), ones.sum(),
+    ])
+
+
+def heldout_stats(gamma, lam, pairs, y, epsilon: float) -> HeldoutResult:
+    s, k, s0, k0, s1, k1 = (float(v) for v in
+                            _heldout_sums(gamma, lam, pairs, y, epsilon))
+    return HeldoutResult(
+        avg=s / max(k, 1), count=int(k),
+        avg0=s0 / max(k0, 1), count0=int(k0),
+        avg1=s1 / max(k1, 1), count1=int(k1))
+
+
+@jax.jit
+def link_probs(gamma, lam, pairs):
+    """P(y=1) under point estimates, for AUC / precision curves
+    (reference: LinkSampling::link_prob, src/linksampling.hh:239-257)."""
+    pi = gamma / gamma.sum(axis=1, keepdims=True)
+    beta = lam[:, 0] / (lam[:, 0] + lam[:, 1])
+    return (pi[pairs[:, 0]] * pi[pairs[:, 1]] * beta).sum(axis=-1)

@@ -1,0 +1,312 @@
+"""Graph ingest and host-side network store.
+
+TPU-native equivalent of the reference's ``Network`` class
+(reference: src/network.hh:22-216, src/network.cc:10-159): reads a
+tab/whitespace-separated edge list, dedups, drops self-loops, compacts
+external ids to sequence ids 0..n-1 in first-seen order, and builds the
+arrays the device kernels need: a canonical edge array (E,2) with p<q,
+CSR adjacency, and degrees. Heldout (validation/test/precision) splits are
+sampled host-side (reference: src/linksampling.cc:281-309) and training
+links are materialized as a dense array
+(reference: LinkSampling::assign_training_links, src/linksampling.cc:493-523).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from svinet_tpu.config import Config
+
+SINGLE_NODE_START_ID = 891212  # reference: src/network.hh uses a magic base id
+
+
+def _pair_key(p: np.ndarray, q: np.ndarray, n: int) -> np.ndarray:
+    """Unique int64 key for a canonical (p<q) node pair."""
+    return p.astype(np.int64) * np.int64(n) + q.astype(np.int64)
+
+
+class Network:
+    """Host-side undirected graph store."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.n: int = 0
+        self.edges: np.ndarray = np.zeros((0, 2), np.int32)  # canonical p<q
+        self.deg: np.ndarray = np.zeros(0, np.int32)
+        self.id2seq: Dict[int, int] = {}
+        self.seq2id: np.ndarray = np.zeros(0, np.int64)
+        self.str_ids: Optional[List[str]] = None
+        self.singles: int = 0
+        self._edge_keys: Optional[np.ndarray] = None  # sorted keys of all links
+        # CSR adjacency
+        self.row_ptr: np.ndarray = np.zeros(1, np.int64)
+        self.col_idx: np.ndarray = np.zeros(0, np.int32)
+        # ground truth communities: list of np arrays of seq ids
+        self.ground_truth: Optional[List[np.ndarray]] = None
+        # heldout splits (canonical pairs + labels)
+        self.validation_pairs: np.ndarray = np.zeros((0, 2), np.int32)
+        self.validation_y: np.ndarray = np.zeros(0, np.int8)
+        self.test_pairs: np.ndarray = np.zeros((0, 2), np.int32)
+        self.test_y: np.ndarray = np.zeros(0, np.int8)
+        self.precision_pairs: np.ndarray = np.zeros((0, 2), np.int32)
+        self.precision_y: np.ndarray = np.zeros(0, np.int8)
+        # training links (validation/test excluded)
+        self.training_links: np.ndarray = np.zeros((0, 2), np.int32)
+        self.training_deg: np.ndarray = np.zeros(0, np.int32)
+        # informative-zero neighborhood sets (infset mode), CSR layout
+        self.sparse_zeros_ptr: Optional[np.ndarray] = None
+        self.sparse_zeros_idx: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    @property
+    def ones(self) -> int:
+        return int(self.edges.shape[0])
+
+    @property
+    def total_pairs(self) -> int:
+        if self.cfg.undirected:
+            return self.n * (self.n - 1) // 2
+        return self.n * (self.n - 1)
+
+    def deg_stats(self) -> Tuple[int, float]:
+        if self.n == 0:
+            return 0, 0.0
+        return int(self.deg.max()), float(self.deg.mean())
+
+    # ------------------------------------------------------------------
+    def read(self, path: str) -> None:
+        """Read an edge list file (reference: Network::read, src/network.cc:10-159)."""
+        with open(path) as f:
+            text = f.read()
+        if self.cfg.strid:
+            toks = text.split()
+            if len(toks) % 2:
+                toks = toks[:-1]
+            uniq: Dict[str, int] = {}
+            a = np.empty(len(toks) // 2, np.int64)
+            b = np.empty(len(toks) // 2, np.int64)
+            for i in range(0, len(toks), 2):
+                for tok, arr in ((toks[i], a), (toks[i + 1], b)):
+                    if tok not in uniq:
+                        uniq[tok] = len(uniq)
+                    arr[i // 2] = uniq[tok]
+            self.str_ids = list(uniq.keys())
+            raw = np.stack([a, b], axis=1)
+        else:
+            raw = np.array(text.split(), dtype=np.int64)
+            if raw.size % 2:
+                raw = raw[:-1]
+            raw = raw.reshape(-1, 2)
+        self._build(raw)
+
+    def from_arrays(self, src: np.ndarray, dst: np.ndarray) -> None:
+        """Build directly from id arrays (for synthetic/generated graphs)."""
+        self._build(np.stack([np.asarray(src, np.int64),
+                              np.asarray(dst, np.int64)], axis=1))
+
+    def _build(self, raw: np.ndarray) -> None:
+        cfg = self.cfg
+        # compact external ids -> seq ids in first-seen order
+        flat = raw.reshape(-1)
+        uniq, first_pos = np.unique(flat, return_index=True)
+        order = np.argsort(first_pos, kind="stable")
+        uniq_in_order = uniq[order]
+        if cfg.n and len(uniq_in_order) > cfg.n:
+            # reference caps distinct nodes at env.n (Network::add fails after n)
+            keep = uniq_in_order[: cfg.n]
+            keep_set = np.isin(flat.reshape(-1, 2)[:, 0], keep) & np.isin(
+                flat.reshape(-1, 2)[:, 1], keep
+            )
+            raw = raw[keep_set]
+            uniq_in_order = keep
+        n_read = len(uniq_in_order)
+        remap = {int(e): i for i, e in enumerate(uniq_in_order)}
+        seq2id = list(int(x) for x in uniq_in_order)
+
+        # pad missing nodes as singles (reference: src/network.cc:107-113)
+        self.singles = 0
+        if cfg.n and cfg.n > n_read:
+            self.singles = cfg.n - n_read
+            for k in range(self.singles):
+                seq2id.append(SINGLE_NODE_START_ID + k)
+        self.n = max(cfg.n, n_read)
+        cfg.n = self.n
+        self.seq2id = np.array(seq2id, np.int64)
+        self.id2seq = {e: i for i, e in enumerate(seq2id)}
+
+        p = np.array([remap[int(x)] for x in raw[:, 0]], np.int64)
+        q = np.array([remap[int(x)] for x in raw[:, 1]], np.int64)
+        # drop self loops, canonicalize p<q, dedup keeping first occurrence
+        mask = p != q
+        p, q = p[mask], q[mask]
+        lo, hi = np.minimum(p, q), np.maximum(p, q)
+        keys = _pair_key(lo, hi, self.n)
+        _, first = np.unique(keys, return_index=True)
+        first.sort()
+        self.edges = np.stack([lo[first], hi[first]], axis=1).astype(np.int32)
+        self._edge_keys = np.sort(
+            _pair_key(self.edges[:, 0].astype(np.int64),
+                      self.edges[:, 1].astype(np.int64), self.n))
+
+        self.deg = np.zeros(self.n, np.int32)
+        np.add.at(self.deg, self.edges[:, 0], 1)
+        np.add.at(self.deg, self.edges[:, 1], 1)
+        self._build_csr()
+
+        cfg.set_eta(self.total_pairs, self.ones)
+        if cfg.nmi and cfg.ground_truth_fname:
+            self.load_ground_truth(cfg.ground_truth_fname)
+
+    def _build_csr(self) -> None:
+        both_src = np.concatenate([self.edges[:, 0], self.edges[:, 1]])
+        both_dst = np.concatenate([self.edges[:, 1], self.edges[:, 0]])
+        order = np.argsort(both_src, kind="stable")
+        self.col_idx = both_dst[order].astype(np.int32)
+        counts = np.bincount(both_src, minlength=self.n)
+        self.row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    def neighbors(self, p: int) -> np.ndarray:
+        return self.col_idx[self.row_ptr[p]: self.row_ptr[p + 1]]
+
+    # ------------------------------------------------------------------
+    def y(self, p: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """Vectorized link lookup for canonical or arbitrary pairs."""
+        p = np.asarray(p, np.int64)
+        q = np.asarray(q, np.int64)
+        lo, hi = np.minimum(p, q), np.maximum(p, q)
+        keys = _pair_key(lo, hi, self.n)
+        idx = np.searchsorted(self._edge_keys, keys)
+        idx = np.clip(idx, 0, len(self._edge_keys) - 1)
+        return (self._edge_keys[idx] == keys).astype(np.int8)
+
+    # ------------------------------------------------------------------
+    def load_ground_truth(self, path: str) -> None:
+        """Load ground-truth communities (reference: src/network.cc:253-438).
+
+        Format: ``node_id<TAB>comm1 comm2 ...`` — one node per line.
+        Stored as a list of per-community seq-id arrays.
+        """
+        comms: Dict[int, List[int]] = {}
+        with open(path) as f:
+            for line in f:
+                toks = line.split()
+                if len(toks) < 2:
+                    continue
+                node = int(toks[0])
+                if node not in self.id2seq:
+                    continue
+                seq = self.id2seq[node]
+                for c in toks[1:]:
+                    comms.setdefault(int(c), []).append(seq)
+        self.ground_truth = [np.array(sorted(v), np.int64)
+                             for _, v in sorted(comms.items())]
+
+    def write_gt_communities(self, path: str) -> None:
+        """Write ground-truth communities as external ids, one community per
+        line (reference: Network::write_gt_communities)."""
+        assert self.ground_truth is not None
+        with open(path, "w") as f:
+            for comm in self.ground_truth:
+                ids = sorted(int(self.seq2id[s]) for s in comm)
+                f.write(" ".join(str(i) for i in ids) + " \n")
+
+    # ------------------------------------------------------------------
+    def sample_heldout_sets(self, rng: np.random.Generator) -> None:
+        """Sample the validation (and optional precision) heldout sets
+        (reference: LinkSampling::init_validation, src/linksampling.cc:164-188;
+        set_validation_sample, src/linksampling.cc:283-309).
+
+        s1 = heldout_ratio * ones; the validation set holds s1/2 links and
+        s1/2 nonlinks.
+        """
+        cfg = self.cfg
+        s1 = int(cfg.heldout_ratio * self.ones)
+        half = max(s1 // 2, 1)
+        self.validation_pairs, self.validation_y = self._sample_split(rng, half, half)
+        if cfg.create_test_precision_sets:
+            zeros = int((self.total_pairs - self.ones) * cfg.heldout_ratio)
+            self.precision_pairs, self.precision_y = self._sample_split(
+                rng, half, min(zeros, 50 * half))
+        self.assign_training_links()
+
+    def _sample_split(self, rng: np.random.Generator, n_links: int,
+                      n_nonlinks: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Sample n_links random links + n_nonlinks random nonlink pairs."""
+        link_idx = rng.choice(self.ones, size=min(n_links, self.ones),
+                              replace=False)
+        links = self.edges[np.sort(link_idx)]
+        nonlinks = self._sample_nonlinks(rng, n_nonlinks)
+        pairs = np.concatenate([links, nonlinks], axis=0).astype(np.int32)
+        ys = np.concatenate([
+            np.ones(len(links), np.int8), np.zeros(len(nonlinks), np.int8)])
+        return pairs, ys
+
+    def _sample_nonlinks(self, rng: np.random.Generator, count: int,
+                         exclude_keys: Optional[np.ndarray] = None) -> np.ndarray:
+        """Rejection-sample `count` distinct nonlink pairs."""
+        out = np.zeros((0, 2), np.int64)
+        seen = np.zeros(0, np.int64)
+        while len(out) < count:
+            m = max(64, 2 * (count - len(out)))
+            a = rng.integers(0, self.n, size=m)
+            b = rng.integers(0, self.n, size=m)
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            ok = lo != hi
+            lo, hi = lo[ok], hi[ok]
+            keys = _pair_key(lo, hi, self.n)
+            # not a link
+            idx = np.clip(np.searchsorted(self._edge_keys, keys), 0,
+                          len(self._edge_keys) - 1)
+            ok = self._edge_keys[idx] != keys
+            # not already chosen
+            uniq_keys, uniq_idx = np.unique(keys, return_index=True)
+            dup = np.ones(len(keys), bool)
+            dup[uniq_idx] = False
+            ok &= ~dup
+            ok &= ~np.isin(keys, seen)
+            if exclude_keys is not None:
+                ok &= ~np.isin(keys, exclude_keys)
+            lo, hi, keys = lo[ok], hi[ok], keys[ok]
+            take = min(count - len(out), len(lo))
+            out = np.concatenate([out, np.stack([lo[:take], hi[:take]], 1)])
+            seen = np.concatenate([seen, keys[:take]])
+        return out
+
+    def load_pairs_file(self, path: str) -> Tuple[np.ndarray, np.ndarray]:
+        """Load a heldout pair file of external-id pairs
+        (reference: LinkSampling::load_validation, src/linksampling.cc:1382-1418)."""
+        raw = np.array(open(path).read().split(), np.int64).reshape(-1, 2)
+        p = np.array([self.id2seq[int(x)] for x in raw[:, 0]], np.int64)
+        q = np.array([self.id2seq[int(x)] for x in raw[:, 1]], np.int64)
+        lo, hi = np.minimum(p, q), np.maximum(p, q)
+        pairs = np.stack([lo, hi], 1).astype(np.int32)
+        return pairs, self.y(lo, hi)
+
+    # ------------------------------------------------------------------
+    def assign_training_links(self) -> None:
+        """Materialize training links = all links minus heldout link pairs
+        (reference: LinkSampling::assign_training_links,
+        src/linksampling.cc:493-523)."""
+        held = [self.validation_pairs, self.test_pairs, self.precision_pairs]
+        held_keys = np.concatenate(
+            [_pair_key(h[:, 0].astype(np.int64), h[:, 1].astype(np.int64), self.n)
+             for h in held if len(h)] or [np.zeros(0, np.int64)])
+        edge_keys = _pair_key(self.edges[:, 0].astype(np.int64),
+                              self.edges[:, 1].astype(np.int64), self.n)
+        keep = ~np.isin(edge_keys, held_keys)
+        self.training_links = self.edges[keep]
+        self.training_deg = np.zeros(self.n, np.int32)
+        np.add.at(self.training_deg, self.training_links[:, 0], 1)
+        np.add.at(self.training_deg, self.training_links[:, 1], 1)
+
+    def heldout_keys(self) -> np.ndarray:
+        """Sorted int64 keys of every heldout pair (for edge_ok tests on device,
+        reference: LinkSampling::edge_ok, src/linksampling.hh:294-326)."""
+        held = [self.validation_pairs, self.test_pairs, self.precision_pairs]
+        keys = np.concatenate(
+            [_pair_key(h[:, 0].astype(np.int64), h[:, 1].astype(np.int64), self.n)
+             for h in held if len(h)] or [np.zeros(0, np.int64)])
+        return np.sort(keys)

@@ -1,0 +1,74 @@
+"""Graph ingest tests against the bundled example datasets."""
+
+import numpy as np
+import pytest
+
+from svinet_tpu.config import Config
+from svinet_tpu.graph import Network
+
+
+def test_read_lfr(lfr_paths):
+    cfg = Config(n=1000, k=28).resolve()
+    net = Network(cfg)
+    net.read(lfr_paths["network"])
+    # reference golden run: n=1000, ones=29871, avg degree 59.742
+    assert net.n == 1000
+    assert net.ones == 29871
+    assert net.singles == 0
+    mx, avg = net.deg_stats()
+    assert mx == 61
+    assert abs(avg - 59.742) < 1e-3
+    # eta resolution, uniform default
+    assert cfg.eta0 == 1.0 and cfg.eta1 == 1.0
+    assert abs(cfg.ones_prob - 0.059801802) < 1e-6
+
+
+def test_read_assort(assort_path):
+    cfg = Config(n=75, k=4).resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    assert net.n == 75
+    # golden param.txt: network ones: 859 (dedup + self-loop drop)
+    assert net.ones == 859
+
+
+def test_dedup_and_selfloops(tmp_path):
+    f = tmp_path / "net.txt"
+    f.write_text("1\t2\n2\t1\n1\t1\n3\t1\n")
+    cfg = Config(n=3, k=2).resolve()
+    net = Network(cfg)
+    net.read(str(f))
+    assert net.ones == 2
+    assert net.n == 3
+    # first-seen-order compaction: 1->0, 2->1, 3->2
+    assert net.id2seq[1] == 0 and net.id2seq[2] == 1 and net.id2seq[3] == 2
+    assert net.y([0], [1])[0] == 1
+    assert net.y([1], [2])[0] == 0
+
+
+def test_heldout_sampling(lfr_paths):
+    cfg = Config(n=1000, k=28, seed=42).resolve()
+    net = Network(cfg)
+    net.read(lfr_paths["network"])
+    rng = np.random.default_rng(42)
+    net.sample_heldout_sets(rng)
+    # s1 = 0.01 * 29871 = 298 -> 149 links + 149 nonlinks
+    assert len(net.validation_pairs) == 298
+    assert net.validation_y.sum() == 149
+    ys = net.y(net.validation_pairs[:, 0], net.validation_pairs[:, 1])
+    assert (ys == net.validation_y).all()
+    # training links exclude the heldout links
+    assert len(net.training_links) == net.ones - 149
+    # training degree is consistent
+    assert net.training_deg.sum() == 2 * len(net.training_links)
+
+
+def test_ground_truth_loader(lfr_paths):
+    cfg = Config(n=1000, k=28, nmi=True,
+                 ground_truth_fname=lfr_paths["ground_truth"]).resolve()
+    net = Network(cfg)
+    net.read(lfr_paths["network"])
+    assert net.ground_truth is not None
+    assert len(net.ground_truth) == 28
+    total = sum(len(c) for c in net.ground_truth)
+    assert total >= 1000  # overlapping cover
