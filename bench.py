@@ -1,0 +1,80 @@
+"""Headline benchmark: LinkSampling SVI throughput on ca-AstroPh (k=20).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/sec", "vs_baseline": N}
+
+Baseline: the reference's bundled ca-AstroPh run
+(/root/reference/example/n17903-k20-mmsb-linksampling.tgz) converged in
+99 iterations x ~190k training links in 77 s on a single 2013-era CPU core
+=> ~244k edge phi-updates/sec (BASELINE.md). vs_baseline = ours / 244e3.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DATA = "/root/reference/example/ca-AstroPh.csv"
+BASELINE_EDGES_PER_SEC = 99 * 193031 / 77.0  # ~248k phi-updates(edges)/s
+
+
+def main() -> None:
+    from svinet_tpu.config import Config
+    from svinet_tpu.graph import Network
+    from svinet_tpu.ops.edges import pad_edges
+    from svinet_tpu.svi.linksampling import (
+        linksampling_sweep, init_gamma_from_links)
+    from svinet_tpu.svi.sweep_math import LSConsts
+
+    cfg = Config(n=17903, k=20, heldout_ratio=0.02, link_sampling=True,
+                 outdir="/tmp/svinet-bench")
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(DATA)
+    rng = np.random.default_rng(0)
+    net.sample_heldout_sets(rng)
+
+    n, k = net.n, cfg.k
+    edges_p, mask = pad_edges(net.training_links, cfg.edge_block)
+    num_blocks = edges_p.shape[0] // cfg.edge_block
+    edges_d = jnp.asarray(edges_p)
+    mask_d = jnp.asarray(mask)
+    deg_d = jnp.asarray(net.training_deg.astype(np.float32))
+    gamma = jnp.asarray(
+        init_gamma_from_links(rng, net.edges, n, k, cfg.alpha), jnp.float32)
+    lam = jnp.asarray(np.tile([cfg.eta0, cfg.eta1], (k, 1)), jnp.float32)
+    consts = LSConsts(alpha=jnp.float32(cfg.alpha),
+                      eta=jnp.asarray([cfg.eta0, cfg.eta1], jnp.float32),
+                      ones=jnp.float32(net.ones),
+                      n_nodes=jnp.float32(n))
+    ann = jnp.float32(1.0)
+
+    # warmup / compile
+    gamma, lam = linksampling_sweep(gamma, lam, edges_d, mask_d, deg_d,
+                                    consts, ann, num_blocks)
+    jax.block_until_ready((gamma, lam))
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        gamma, lam = linksampling_sweep(gamma, lam, edges_d, mask_d, deg_d,
+                                        consts, ann, num_blocks)
+    jax.block_until_ready((gamma, lam))
+    dt = time.perf_counter() - t0
+
+    n_train = len(net.training_links)
+    eps = n_iters * n_train / dt
+    print(json.dumps({
+        "metric": "linksampling_edges_per_sec_ca-AstroPh_k20",
+        "value": round(eps, 1),
+        "unit": "edges/sec",
+        "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

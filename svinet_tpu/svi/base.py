@@ -1,0 +1,147 @@
+"""Shared host-side engine scaffolding.
+
+Every reference engine embeds its own copy of the heldout/validation
+machinery, report files, stopping rule, community logging, and model
+saving (SURVEY §2 #21). Here that lives once: engines subclass
+EngineBase and implement the device-side step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from svinet_tpu.config import Config
+from svinet_tpu.graph import Network
+from svinet_tpu.evals.likelihood import heldout_stats
+from svinet_tpu.evals.stopping import ValidationStop
+from svinet_tpu.evals.nmi import overlapping_nmi, read_cover_file
+from svinet_tpu.io.writers import (
+    ReportFile, save_model, write_communities, write_groups, write_max,
+    write_edgelist,
+)
+from svinet_tpu.svi.communities import edge_assignments, extract_communities
+
+
+class EngineBase:
+    """Owns output files, heldout splits, the stopping controller, and the
+    community/NMI logging. Subclasses own gamma/lam device state and steps."""
+
+    def __init__(self, cfg: Config, network: Network,
+                 rng: Optional[np.random.Generator] = None):
+        self.cfg = cfg
+        self.network = network
+        self.rng = rng or np.random.default_rng(cfg.seed)
+        cfg.make_outdir()
+
+        if cfg.load_heldout and cfg.load_heldout_fname:
+            network.validation_pairs, network.validation_y = \
+                network.load_pairs_file(cfg.load_heldout_fname)
+            network.assign_training_links()
+        else:
+            network.sample_heldout_sets(self.rng)
+        if cfg.load_test and cfg.load_test_fname:
+            network.test_pairs, network.test_y = \
+                network.load_pairs_file(cfg.load_test_fname)
+            network.assign_training_links()
+
+        write_edgelist(cfg.file_str("validation-edges.txt"),
+                       network.validation_pairs, network.validation_y,
+                       network.seq2id)
+        if len(network.test_pairs):
+            write_edgelist(cfg.file_str("test-edges.txt"),
+                           network.test_pairs, network.test_y, network.seq2id)
+
+        self.n, self.k = network.n, cfg.k
+        self.val_pairs = jnp.asarray(network.validation_pairs)
+        self.val_y = jnp.asarray(network.validation_y.astype(np.int32))
+        self.test_pairs = (jnp.asarray(network.test_pairs)
+                           if len(network.test_pairs) else None)
+        self.test_y = (jnp.asarray(network.test_y.astype(np.int32))
+                       if len(network.test_pairs) else None)
+
+        self.iteration = 0
+        self.stopper = ValidationStop(stopthresh=cfg.stopthresh)
+        self._start = time.time()
+        self._vf = ReportFile(cfg.file_str("validation.txt"))
+        self._hf = ReportFile(cfg.file_str("heldout.txt"))
+        self._tf = (ReportFile(cfg.file_str("test.txt"))
+                    if self.test_pairs is not None else None)
+        self._mutual = None
+        if cfg.nmi and network.ground_truth is not None:
+            network.write_gt_communities(cfg.file_str("ground_truth.txt"))
+            self._mutual = open(cfg.file_str("mutual.txt"), "w")
+        self._communities = {}
+
+        cfg.write_param_txt()
+        cfg.plog("inference n", self.n)
+        cfg.plog("total pairs", network.total_pairs)
+        cfg.plog("network ones", network.ones)
+        cfg.plog("heldout pairs (1s and 0s)", len(network.validation_pairs))
+
+        # gamma/lam set by subclass before infer()
+        self.gamma = None
+        self.lam = None
+
+    # ------------------------------------------------------------------
+    def duration(self) -> int:
+        return int(time.time() - self._start)
+
+    def report(self) -> bool:
+        """Validation likelihood + stopping logic. Returns True to stop."""
+        cfg = self.cfg
+        res = heldout_stats(self.gamma, self.lam, self.val_pairs, self.val_y,
+                            cfg.epsilon)
+        nshol = self._vf.write(self.iteration, self.duration(), res,
+                               cfg.zeros_prob, cfg.ones_prob)
+        self._hf.write(self.iteration, self.duration(), res,
+                       cfg.zeros_prob, cfg.ones_prob)
+        if self._tf is not None:
+            tres = heldout_stats(self.gamma, self.lam, self.test_pairs,
+                                 self.test_y, cfg.epsilon)
+            self._tf.write(self.iteration, self.duration(), tres,
+                           cfg.zeros_prob, cfg.ones_prob)
+
+        stop = self.stopper.update(self.iteration, nshol)
+        self._last_stop_raw = stop
+        write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
+                  nshol, self.stopper.max_t, self.stopper.max_h,
+                  self.stopper.why)
+        self.log_communities()
+        return stop and cfg.use_validation_stop
+
+    def log_communities(self) -> None:
+        cfg = self.cfg
+        edges, mask = self._community_edges()
+        argmax, maxval = edge_assignments(self.gamma, self.lam, edges, mask)
+        self._communities = extract_communities(
+            np.asarray(argmax), np.asarray(maxval),
+            np.asarray(edges), np.asarray(mask),
+            self.n, self.k, cfg.link_thresh, cfg.lt_min_deg)
+        write_communities(cfg.file_str("communities.txt"),
+                          self._communities, self.network.seq2id)
+        if self._mutual is not None:
+            ours = read_cover_file(cfg.file_str("communities.txt"))
+            gt = read_cover_file(cfg.file_str("ground_truth.txt"))
+            val = overlapping_nmi(gt, ours)
+            self._mutual.write(f"mutual3:\t{val:g}\n")
+            self._mutual.flush()
+
+    def _community_edges(self):
+        """Edge array + mask used for link-community extraction; default is
+        the full training-link set (subclasses may override)."""
+        if not hasattr(self, "_ce_cache"):
+            from svinet_tpu.ops.edges import pad_edges
+            e, m = pad_edges(self.network.training_links, self.cfg.edge_block)
+            self._ce_cache = (jnp.asarray(e), jnp.asarray(m))
+        return self._ce_cache
+
+    def do_on_stop(self) -> None:
+        self.log_communities()
+        save_model(self.cfg.outdir, np.asarray(self.gamma),
+                   np.asarray(self.lam), self.network.seq2id)
+        write_groups(self.cfg.file_str("groups.txt"),
+                     np.asarray(self.gamma), self.network.seq2id)

@@ -40,22 +40,11 @@ from svinet_tpu.config import Config
 from svinet_tpu.graph import Network
 from svinet_tpu.ops.expectations import dirichlet_expectation
 from svinet_tpu.ops.edges import pad_edges
-from svinet_tpu.evals.likelihood import heldout_stats
-from svinet_tpu.evals.stopping import ValidationStop
-from svinet_tpu.evals.nmi import overlapping_nmi, read_cover_file
-from svinet_tpu.io.writers import (
-    ReportFile, save_model, load_model, write_communities, write_groups,
-    write_max, write_edgelist,
+from svinet_tpu.svi.base import EngineBase
+from svinet_tpu.svi.sweep_math import (
+    LSConsts, phi_pass, mean_indicator_update, s3_pass, finish_lambda,
 )
-from svinet_tpu.svi.communities import edge_assignments, extract_communities
-
-
-class LSConsts(NamedTuple):
-    """Per-run constants living on device."""
-    alpha: jax.Array       # scalar
-    eta: jax.Array         # (2,)
-    ones: jax.Array        # scalar: number of links in the network
-    n_nodes: jax.Array     # scalar: n (float)
+from svinet_tpu.io.writers import load_model
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
@@ -67,54 +56,13 @@ def linksampling_sweep(gamma, lam, edges, mask, deg, consts: LSConsts,
     edges: (Ep,2) int32 padded; mask: (Ep,) f32; deg: (n,) f32 training degree.
     annealing: f32 scalar in {0,1}.
     """
-    n, k = gamma.shape
     elogpi = dirichlet_expectation(gamma)
     elogbeta = dirichlet_expectation(lam)
-    elb0 = elogbeta[:, 0]
-
-    e_blocks = edges.reshape(num_blocks, -1, 2)
-    m_blocks = mask.reshape(num_blocks, -1)
-
-    def phi_block(carry, blk):
-        gacc, sumk = carry
-        e, m = blk
-        p, q = e[:, 0], e[:, 1]
-        logits = elogpi[p] + elogpi[q] + elb0
-        phi = jax.nn.softmax(logits, axis=-1) * m[:, None]
-        gacc = gacc.at[p].add(phi)
-        gacc = gacc.at[q].add(phi)
-        sumk = sumk + 2.0 * phi.sum(axis=0)
-        return (gacc, sumk), None
-
-    (gacc, sumk), _ = jax.lax.scan(
-        phi_block,
-        (jnp.zeros((n, k), gamma.dtype), jnp.zeros((k,), gamma.dtype)),
-        (e_blocks, m_blocks))
-
-    gnext = consts.alpha + gacc
-    lam0 = consts.eta[0] + sumk
-
-    # nonlink expectation correction (compute_mean_indicators)
-    degc = deg[:, None]
-    has_links = degc > 0
-    mphi = jnp.where(has_links, gacc / jnp.maximum(degc, 1.0), 0.0)
-    s1 = mphi.sum(axis=0)
-    s2 = (mphi * mphi).sum(axis=0)
-    gnext = jnp.where(has_links,
-                      gnext + (consts.n_nodes - degc - 1.0) * mphi, gnext)
-    scale = consts.ones / jnp.maximum(sumk, 1e-30)
-    gnext = jnp.where(has_links & (annealing > 0), gnext * scale, gnext)
-
-    # second pass: s3 cross-moment for lambda1
-    def s3_block(s3, blk):
-        e, m = blk
-        s3 = s3 + (mphi[e[:, 0]] * mphi[e[:, 1]] * m[:, None]).sum(axis=0)
-        return s3, None
-
-    s3, _ = jax.lax.scan(s3_block, jnp.zeros((k,), gamma.dtype),
-                         (e_blocks, m_blocks))
-    lam1 = consts.eta[1] + s1 * s1 - s2 - s3
-    return gnext, jnp.stack([lam0, lam1], axis=1)
+    gacc, sumk = phi_pass(elogpi, elogbeta[:, 0], edges, mask, num_blocks)
+    gnext, mphi, s1, s2, lam0 = mean_indicator_update(
+        gacc, sumk, deg, consts, annealing)
+    s3 = s3_pass(mphi, edges, mask, num_blocks)
+    return gnext, finish_lambda(s1, s2, s3, lam0, consts)
 
 
 def init_gamma_from_links(rng: np.random.Generator, edges: np.ndarray,
@@ -132,37 +80,14 @@ def init_gamma_from_links(rng: np.random.Generator, edges: np.ndarray,
     return gamma
 
 
-class LinkSampling:
-    """Host driver: owns the output files, the stopping controller, the
-    annealing phase, and the device state."""
+class LinkSampling(EngineBase):
+    """Host driver: owns the annealing phase and the device state; file
+    output, stopping, and community logging live in EngineBase."""
 
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):
-        self.cfg = cfg
-        self.network = network
-        self.rng = rng or np.random.default_rng(cfg.seed)
-        cfg.make_outdir()
-
-        if cfg.load_heldout and cfg.load_heldout_fname:
-            network.validation_pairs, network.validation_y = \
-                network.load_pairs_file(cfg.load_heldout_fname)
-            network.assign_training_links()
-        else:
-            network.sample_heldout_sets(self.rng)
-        if cfg.load_test and cfg.load_test_fname:
-            network.test_pairs, network.test_y = \
-                network.load_pairs_file(cfg.load_test_fname)
-            network.assign_training_links()
-
-        write_edgelist(cfg.file_str("validation-edges.txt"),
-                       network.validation_pairs, network.validation_y,
-                       network.seq2id)
-        if len(network.test_pairs):
-            write_edgelist(cfg.file_str("test-edges.txt"),
-                           network.test_pairs, network.test_y, network.seq2id)
-
-        n, k = network.n, cfg.k
-        self.n, self.k = n, k
+        super().__init__(cfg, network, rng)
+        n, k = self.n, self.k
         edges_p, mask = pad_edges(network.training_links, cfg.edge_block)
         self.num_blocks = edges_p.shape[0] // cfg.edge_block
         self.edges = jnp.asarray(edges_p)
@@ -184,37 +109,10 @@ class LinkSampling:
             ones=jnp.float32(network.ones),
             n_nodes=jnp.float32(n))
 
-        self.val_pairs = jnp.asarray(network.validation_pairs)
-        self.val_y = jnp.asarray(network.validation_y.astype(np.int32))
-        self.test_pairs = (jnp.asarray(network.test_pairs)
-                           if len(network.test_pairs) else None)
-        self.test_y = (jnp.asarray(network.test_y.astype(np.int32))
-                       if len(network.test_pairs) else None)
-
-        self.iteration = 0
         self.annealing = True
-        self.stopper = ValidationStop(stopthresh=cfg.stopthresh)
-        self._start = time.time()
-        self._vf = ReportFile(cfg.file_str("validation.txt"))
-        self._hf = ReportFile(cfg.file_str("heldout.txt"))
-        self._tf = (ReportFile(cfg.file_str("test.txt"))
-                    if self.test_pairs is not None else None)
-        self._mutual = None
-        if cfg.nmi and network.ground_truth is not None:
-            network.write_gt_communities(cfg.file_str("ground_truth.txt"))
-            self._mutual = open(cfg.file_str("mutual.txt"), "w")
-        self._communities = {}
-
-        cfg.write_param_txt()
-        cfg.plog("inference n", n)
-        cfg.plog("total pairs", network.total_pairs)
-        cfg.plog("network ones", network.ones)
-        cfg.plog("heldout pairs (1s and 0s)", len(network.validation_pairs))
+        self._ce_cache = (self.edges, self.mask)  # reuse for communities
 
     # ------------------------------------------------------------------
-    def duration(self) -> int:
-        return int(time.time() - self._start)
-
     def step(self) -> None:
         """One sweep over all training links."""
         self.gamma, self.lam = linksampling_sweep(
@@ -223,58 +121,15 @@ class LinkSampling:
             self.num_blocks)
 
     def report(self) -> bool:
-        """Validation likelihood + stopping logic. Returns True to stop."""
-        cfg = self.cfg
-        res = heldout_stats(self.gamma, self.lam, self.val_pairs, self.val_y,
-                            cfg.epsilon)
-        nshol = self._vf.write(self.iteration, self.duration(), res,
-                               cfg.zeros_prob, cfg.ones_prob)
-        self._hf.write(self.iteration, self.duration(), res,
-                       cfg.zeros_prob, cfg.ones_prob)
-        if self._tf is not None:
-            tres = heldout_stats(self.gamma, self.lam, self.test_pairs,
-                                 self.test_y, cfg.epsilon)
-            self._tf.write(self.iteration, self.duration(), tres,
-                           cfg.zeros_prob, cfg.ones_prob)
-
-        stop = self.stopper.update(self.iteration, nshol)
-        write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
-                  nshol, self.stopper.max_t, self.stopper.max_h,
-                  self.stopper.why)
-        self.log_communities()
-
-        if self.annealing and stop:
+        """EngineBase reporting + the annealing phase switch: the FIRST
+        validation plateau ends annealing instead of the run
+        (reference: src/linksampling.cc:1036-1043)."""
+        stop = super().report()
+        if self.annealing and self._last_stop_raw:
             self.annealing = False
             self.stopper.reset_after_annealing()
             return False
-        if stop and cfg.use_validation_stop:
-            return True
-        return False
-
-    def log_communities(self) -> None:
-        cfg = self.cfg
-        argmax, maxval = edge_assignments(self.gamma, self.lam, self.edges,
-                                          self.mask)
-        self._communities = extract_communities(
-            np.asarray(argmax), np.asarray(maxval),
-            np.asarray(self.edges), np.asarray(self.mask),
-            self.n, self.k, cfg.link_thresh, cfg.lt_min_deg)
-        write_communities(cfg.file_str("communities.txt"),
-                          self._communities, self.network.seq2id)
-        if self._mutual is not None:
-            ours = read_cover_file(cfg.file_str("communities.txt"))
-            gt = read_cover_file(cfg.file_str("ground_truth.txt"))
-            val = overlapping_nmi(gt, ours)
-            self._mutual.write(f"mutual3:\t{val:g}\n")
-            self._mutual.flush()
-
-    def do_on_stop(self) -> None:
-        """Checkpoint outputs (reference: LinkSampling::do_on_stop)."""
-        self.log_communities()
-        save_model(self.cfg.outdir, np.asarray(self.gamma),
-                   np.asarray(self.lam), self.network.seq2id)
-        write_groups(self.cfg.file_str("groups.txt"),
-                     np.asarray(self.gamma), self.network.seq2id)
+        return stop
 
     # ------------------------------------------------------------------
     def infer(self, max_seconds: Optional[float] = None) -> None:

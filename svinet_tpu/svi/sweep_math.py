@@ -1,0 +1,97 @@
+"""Composable pieces of the link-sampling sweep, shared by the single-chip
+jit path (svi/linksampling.py) and the multi-chip shard_map path
+(parallel/mesh.py). Pure functions; no host state.
+
+The split mirrors the reference's phases: the per-link phi pass
+(src/linksampling.cc:605-725), the global nonlink/mean-indicator update
+(src/linksampling.cc:526-545), and the s3 cross-moment pass
+(src/linksampling.cc:731-749). On a device mesh the two edge passes run on
+the local edge shard and their outputs (gacc (n,K), sumk (K,), s3 (K,)) are
+the ONLY cross-device traffic, psum-reduced over ICI — the TPU equivalent
+of the reference's serial thread reduce (src/mmsbinfer.cc:1770-1827).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LSConsts(NamedTuple):
+    """Per-run constants living on device."""
+    alpha: jax.Array       # scalar
+    eta: jax.Array         # (2,)
+    ones: jax.Array        # scalar: number of links in the network
+    n_nodes: jax.Array     # scalar: n (float)
+
+
+def phi_pass(elogpi, elb0, edges, mask, num_blocks: int
+             ) -> Tuple[jax.Array, jax.Array]:
+    """Blocked sweep over (a shard of) the training links.
+
+    Returns (gacc (n,K): sum of phi scattered to both endpoints,
+             sumk (K,): 2*sum of phi)."""
+    n, k = elogpi.shape
+    e_blocks = edges.reshape(num_blocks, -1, 2)
+    m_blocks = mask.reshape(num_blocks, -1)
+
+    def block(carry, blk):
+        gacc, sumk = carry
+        e, m = blk
+        p, q = e[:, 0], e[:, 1]
+        logits = elogpi[p] + elogpi[q] + elb0
+        phi = jax.nn.softmax(logits, axis=-1) * m[:, None]
+        gacc = gacc.at[p].add(phi)
+        gacc = gacc.at[q].add(phi)
+        sumk = sumk + 2.0 * phi.sum(axis=0)
+        return (gacc, sumk), None
+
+    (gacc, sumk), _ = jax.lax.scan(
+        block,
+        (jnp.zeros((n, k), elogpi.dtype), jnp.zeros((k,), elogpi.dtype)),
+        (e_blocks, m_blocks))
+    return gacc, sumk
+
+
+def mean_indicator_update(gacc, sumk, deg, consts: LSConsts, annealing
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                     jax.Array, jax.Array]:
+    """Nonlink expectation correction (compute_mean_indicators).
+
+    Returns (gnext, mphi, s1, s2, lam0)."""
+    gnext = consts.alpha + gacc
+    lam0 = consts.eta[0] + sumk
+    degc = deg[:, None]
+    has_links = degc > 0
+    mphi = jnp.where(has_links, gacc / jnp.maximum(degc, 1.0), 0.0)
+    s1 = mphi.sum(axis=0)
+    s2 = (mphi * mphi).sum(axis=0)
+    gnext = jnp.where(has_links,
+                      gnext + (consts.n_nodes - degc - 1.0) * mphi, gnext)
+    scale = consts.ones / jnp.maximum(sumk, 1e-30)
+    gnext = jnp.where(has_links & (annealing > 0), gnext * scale, gnext)
+    return gnext, mphi, s1, s2, lam0
+
+
+def s3_pass(mphi, edges, mask, num_blocks: int) -> jax.Array:
+    """Cross-moment sum over (a shard of) the links: s3_k = sum mphi_p mphi_q."""
+    k = mphi.shape[1]
+    e_blocks = edges.reshape(num_blocks, -1, 2)
+    m_blocks = mask.reshape(num_blocks, -1)
+
+    def block(s3, blk):
+        e, m = blk
+        s3 = s3 + (mphi[e[:, 0]] * mphi[e[:, 1]] * m[:, None]).sum(axis=0)
+        return s3, None
+
+    s3, _ = jax.lax.scan(block, jnp.zeros((k,), mphi.dtype),
+                         (e_blocks, m_blocks))
+    return s3
+
+
+def finish_lambda(s1, s2, s3, lam0, consts: LSConsts) -> jax.Array:
+    """lambda1 = eta1 + s1^2 - s2 - s3 (src/linksampling.cc:748)."""
+    lam1 = consts.eta[1] + s1 * s1 - s2 - s3
+    return jnp.stack([lam0, lam1], axis=1)

@@ -1,0 +1,105 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+the sharded sweep must produce the same state as the single-chip sweep."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svinet_tpu.config import Config
+from svinet_tpu.graph import Network
+from svinet_tpu.ops.edges import pad_edges
+from svinet_tpu.svi.sweep_math import LSConsts
+from svinet_tpu.svi.linksampling import linksampling_sweep, init_gamma_from_links
+from svinet_tpu.parallel.mesh import (
+    make_mesh, make_sharded_sweep, shard_edges, device_put_sharded_edges,
+)
+
+
+def _toy_graph(n=60, k=4, seed=0):
+    rng = np.random.default_rng(seed)
+    # planted partition: 4 blocks of 15, dense inside
+    edges = []
+    for b in range(4):
+        nodes = np.arange(b * 15, (b + 1) * 15)
+        for i in range(15):
+            for j in range(i + 1, 15):
+                if rng.uniform() < 0.6:
+                    edges.append((nodes[i], nodes[j]))
+    for _ in range(40):
+        p, q = rng.integers(0, n, 2)
+        if p != q:
+            edges.append((min(p, q), max(p, q)))
+    edges = np.unique(np.array(edges, np.int64), axis=0)
+    return edges.astype(np.int32)
+
+
+def test_sharded_sweep_matches_single_chip():
+    n, k = 60, 4
+    edges = _toy_graph(n, k)
+    deg = np.zeros(n, np.int32)
+    np.add.at(deg, edges[:, 0], 1)
+    np.add.at(deg, edges[:, 1], 1)
+    rng = np.random.default_rng(1)
+    gamma0 = init_gamma_from_links(rng, edges, n, k, 1.0 / k)
+    lam0 = np.tile([1.0, 1.0], (k, 1))
+    consts = LSConsts(alpha=jnp.float32(1.0 / k),
+                      eta=jnp.asarray([1.0, 1.0], jnp.float32),
+                      ones=jnp.float32(len(edges)),
+                      n_nodes=jnp.float32(n))
+
+    # single chip
+    e1, m1 = pad_edges(edges, 64)
+    g1, l1 = linksampling_sweep(
+        jnp.asarray(gamma0, jnp.float32), jnp.asarray(lam0, jnp.float32),
+        jnp.asarray(e1), jnp.asarray(m1), jnp.asarray(deg, jnp.float32),
+        consts, jnp.float32(1.0), e1.shape[0] // 64)
+
+    # 8-device mesh
+    mesh = make_mesh(8)
+    es, ms = shard_edges(edges, 8, 64)
+    per_shard = es.shape[0] // 8
+    sweep = make_sharded_sweep(mesh, per_shard // 64)
+    es_d, ms_d = device_put_sharded_edges(mesh, es, ms)
+    g8, l8 = sweep(jnp.asarray(gamma0, jnp.float32),
+                   jnp.asarray(lam0, jnp.float32), es_d, ms_d,
+                   jnp.asarray(deg, jnp.float32), consts, jnp.float32(1.0))
+
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(l8), np.asarray(l1),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_sharded_sweep_iterates():
+    """Run several sharded sweeps and check the state stays finite and the
+    planted blocks separate."""
+    n, k = 60, 4
+    edges = _toy_graph(n, k)
+    deg = np.zeros(n, np.int32)
+    np.add.at(deg, edges[:, 0], 1)
+    np.add.at(deg, edges[:, 1], 1)
+    rng = np.random.default_rng(2)
+    gamma = jnp.asarray(init_gamma_from_links(rng, edges, n, k, 0.25),
+                        jnp.float32)
+    lam = jnp.asarray(np.tile([1.0, 1.0], (k, 1)), jnp.float32)
+    consts = LSConsts(alpha=jnp.float32(0.25),
+                      eta=jnp.asarray([1.0, 1.0], jnp.float32),
+                      ones=jnp.float32(len(edges)),
+                      n_nodes=jnp.float32(n))
+    mesh = make_mesh(8)
+    es, ms = shard_edges(edges, 8, 64)
+    sweep = make_sharded_sweep(mesh, es.shape[0] // 8 // 64)
+    es_d, ms_d = device_put_sharded_edges(mesh, es, ms)
+    for it in range(12):
+        ann = jnp.float32(1.0 if it < 6 else 0.0)
+        gamma, lam = sweep(gamma, lam, es_d, ms_d,
+                           jnp.asarray(deg, jnp.float32), consts, ann)
+    g = np.asarray(gamma)
+    assert np.isfinite(g).all()
+    pi = g / g.sum(1, keepdims=True)
+    # nodes in the same planted block should mostly share an argmax community
+    args = pi.argmax(1).reshape(4, 15)
+    agreement = np.mean([np.mean(row == np.bincount(row).argmax())
+                         for row in args])
+    assert agreement > 0.8
