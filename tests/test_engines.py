@@ -1,0 +1,102 @@
+"""Engine-level tests: MMSBInfer (batch + sampled modes) and FastInit."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from svinet_tpu.config import Config
+from svinet_tpu.graph import Network
+
+
+def _make_engine(tmp_path, assort_path, **kw):
+    from svinet_tpu.svi.mmsb import MMSBInfer
+    cfg = Config(n=75, k=4, heldout_ratio=0.1, eta_type="fromdata",
+                 seed=7, outdir=str(tmp_path / "out"), **kw)
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    return MMSBInfer(cfg, net), cfg, net
+
+
+def test_batch_converges_assort(tmp_path, assort_path):
+    eng, cfg, net = _make_engine(tmp_path, assort_path, batch=True,
+                                 max_iterations=60, use_validation_stop=False,
+                                 reportfreq=60)
+    eng.batch_infer()
+    g = np.asarray(eng.gamma)
+    assert np.isfinite(g).all()
+    # validation likelihood must beat chance by a wide margin
+    from svinet_tpu.evals.likelihood import heldout_stats
+    res = heldout_stats(eng.gamma, eng.lam, eng.val_pairs, eng.val_y,
+                        cfg.epsilon)
+    assert res.avg > -0.6          # reference converges to ~-0.35
+    assert res.avg1 > -1.0
+    # 4 planted communities populated: every community has some gamma mass
+    pi = g / g.sum(1, keepdims=True)
+    counts = np.bincount(pi.argmax(1), minlength=4)
+    assert (counts > 5).sum() >= 3
+
+
+def test_phicomp_matches_naive():
+    """Batched fixed point equals a straightforward per-pair python loop."""
+    from svinet_tpu.ops.phicomp import phi_fixed_point
+    rng = np.random.default_rng(0)
+    b, k = 7, 5
+    elogpi_p = rng.normal(size=(b, k)).astype(np.float32)
+    elogpi_q = rng.normal(size=(b, k)).astype(np.float32)
+    elogbeta = np.abs(rng.normal(size=(k, 2))).astype(np.float32) * -1
+    y = (rng.uniform(size=b) < 0.5).astype(np.int32)
+    log_eps = float(np.log(1e-30))
+
+    phi1, phi2 = phi_fixed_point(jnp.asarray(elogpi_p), jnp.asarray(elogpi_q),
+                                 jnp.asarray(elogbeta), jnp.asarray(y),
+                                 log_eps)
+
+    def softmax(x):
+        e = np.exp(x - x.max())
+        return e / e.sum()
+
+    for i in range(b):
+        f1 = np.full(k, 1.0 / k)
+        f2 = np.full(k, 1.0 / k)
+        elogf = elogbeta[:, 0] if y[i] else elogbeta[:, 1]
+        for _ in range(50):
+            u1 = (1 - f2) * log_eps if y[i] else 0.0
+            n1 = softmax(elogpi_p[i] + elogf * f2 + u1)
+            u2 = (1 - f1) * log_eps if y[i] else 0.0
+            n2 = softmax(elogpi_q[i] + elogf * f1 + u2)
+            if (np.abs(n1 - f1).mean() < 1e-5 and
+                    np.abs(n2 - f2).mean() < 1e-5):
+                f1, f2 = n1, n2
+                break
+            f1, f2 = n1, n2
+        np.testing.assert_allclose(np.asarray(phi1[i]), f1, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(phi2[i]), f2, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["rpair", "rnode", "stratified"])
+def test_sampled_modes_run(tmp_path, assort_path, mode):
+    kw = dict(randompair=(mode == "rpair"), randomnode=(mode == "rnode"),
+              stratified=(mode == "stratified"),
+              max_iterations=12, use_validation_stop=False, reportfreq=12)
+    if mode == "stratified":
+        kw["randompair"] = True
+    eng, cfg, net = _make_engine(tmp_path, assort_path, **kw)
+    eng.infer()
+    g = np.asarray(eng.gamma)
+    l = np.asarray(eng.lam)
+    assert np.isfinite(g).all() and (g > 0).all()
+    assert np.isfinite(l).all() and (l > 0).all()
+
+
+def test_findk_estimates_4_on_assort(tmp_path, assort_path):
+    from svinet_tpu.svi.fastinit import FastInit
+    cfg = Config(n=75, k=75, findk=True, seed=1,
+                 outdir=str(tmp_path / "fk"))
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    eng = FastInit(cfg, net)
+    eng.batch_infer()
+    k_est = len(eng._communities)
+    assert 3 <= k_est <= 6
