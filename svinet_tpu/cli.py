@@ -209,6 +209,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         from svinet_tpu.svi.gen import MMSBGen
         MMSBGen(cfg, network).ppc()
         return 0
+    if cfg.lcstats:
+        from svinet_tpu.svi.gen import MMSBGen
+        MMSBGen(cfg, network).get_lc_stats()
+        return 0
     if cfg.gml:
         from svinet_tpu.svi.gen import MMSBGen
         MMSBGen(cfg, network).gml()
