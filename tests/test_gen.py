@@ -27,10 +27,10 @@ def test_draw_network_statistics():
 
 
 def test_local_clustering_triangle():
-    # triangle + pendant: cc = (1,1,1,0) -> avg 0.75
+    # triangle (0,1,2) + pendant 3: cc = (1, 1, 1/3, 0) -> avg 7/12
     edges = np.array([[0, 1], [1, 2], [0, 2], [2, 3]], np.int32)
     cc = local_clustering_avg(4, edges)
-    assert abs(cc - 0.75) < 1e-9
+    assert abs(cc - 7.0 / 12.0) < 1e-9
 
 
 def test_bridgeness_range():
