@@ -164,6 +164,8 @@ class Config:
             parts.append("linksampling")
         elif self.findk:
             parts.append("findk")
+        elif self.orig:
+            parts.append("orig")
         else:
             tag = ""
             if self.subsample_scale > 1:

@@ -302,6 +302,98 @@ class Network:
         np.add.at(self.training_deg, self.training_links[:, 0], 1)
         np.add.at(self.training_deg, self.training_links[:, 1], 1)
 
+    # ------------------------------------------------------------------
+    def set_neighborhood_sets(self, cfg: Optional[Config] = None) -> None:
+        """-preprocess: collect up to 100 "informative zeros" per node —
+        2-hop non-neighbors, at most 10 per neighbor per cycle — or random
+        zeros with -randzeros; write neighbors.bin
+        (reference: Network::set_neighborhood_sets, src/network.cc:558-686).
+        Binary layout matches the reference: per node, uint32 id,
+        uint64 count, uint32[count] zero ids."""
+        cfg = cfg or self.cfg
+        limit = 100
+        per_neighbor = 10
+        rng = np.random.default_rng(cfg.seed)
+        ptr = [0]
+        idx: List[int] = []
+        cfg.make_outdir()
+        path = cfg.file_str("neighbors.bin")
+        with open(path, "wb") as f:
+            for i in range(self.n):
+                nbrs = self.neighbors(i)
+                zeros: List[int] = []
+                if len(nbrs) == 0:
+                    pass
+                elif cfg.randzeros:
+                    seen = set()
+                    while len(zeros) < limit:
+                        s = int(rng.integers(0, self.n))
+                        if s != i and s not in seen and not self.y(
+                                np.array([i]), np.array([s]))[0]:
+                            zeros.append(s)
+                            seen.add(s)
+                else:
+                    seen = set(int(x) for x in nbrs)
+                    seen.add(i)
+                    exhausted = set()
+                    pos = {int(q): 0 for q in nbrs}
+                    while len(zeros) < limit and len(exhausted) < len(nbrs):
+                        for q in nbrs:
+                            q = int(q)
+                            if q in exhausted or len(zeros) >= limit:
+                                continue
+                            two_hop = self.neighbors(q)
+                            c = 0
+                            k = pos[q]
+                            while k < len(two_hop) and len(zeros) < limit:
+                                p = int(two_hop[k])
+                                k += 1
+                                if p not in seen:
+                                    zeros.append(p)
+                                    seen.add(p)
+                                    c += 1
+                                    if c >= per_neighbor:
+                                        break
+                            pos[q] = k
+                            if k >= len(two_hop):
+                                exhausted.add(q)
+                f.write(np.uint32(i).tobytes())
+                f.write(np.uint64(len(zeros)).tobytes())
+                if zeros:
+                    f.write(np.asarray(zeros, np.uint32).tobytes())
+                idx.extend(zeros)
+                ptr.append(len(idx))
+        self.sparse_zeros_ptr = np.asarray(ptr, np.int64)
+        self.sparse_zeros_idx = np.asarray(idx, np.int32)
+        print(f"+ wrote {path}: {len(idx)} informative zeros")
+
+    def load_neighborhood_sets(self, path: str) -> None:
+        """Load neighbors.bin into CSR arrays
+        (reference: Network::load_neighborhood_sets, src/network.cc:688-719)."""
+        raw = open(path, "rb").read()
+        off = 0
+        ptr = np.zeros(self.n + 1, np.int64)
+        idx: List[np.ndarray] = []
+        total = 0
+        while off < len(raw):
+            node = int(np.frombuffer(raw, np.uint32, 1, off)[0])
+            off += 4
+            sz = int(np.frombuffer(raw, np.uint64, 1, off)[0])
+            off += 8
+            zeros = np.frombuffer(raw, np.uint32, sz, off)
+            off += 4 * sz
+            idx.append(zeros.astype(np.int32))
+            total += sz
+            ptr[node + 1] = total
+        self.sparse_zeros_ptr = ptr
+        self.sparse_zeros_idx = (np.concatenate(idx)
+                                 if idx else np.zeros(0, np.int32))
+
+    def sparse_zeros(self, i: int) -> np.ndarray:
+        assert self.sparse_zeros_ptr is not None
+        return self.sparse_zeros_idx[
+            self.sparse_zeros_ptr[i]: self.sparse_zeros_ptr[i + 1]]
+
     def heldout_keys(self) -> np.ndarray:
         """Sorted int64 keys of every heldout pair (for edge_ok tests on device,
         reference: LinkSampling::edge_ok, src/linksampling.hh:294-326)."""

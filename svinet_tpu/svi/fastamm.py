@@ -1,0 +1,202 @@
+"""FastAMM engine (-infset) — stratified-subset SVI for massive sparse graphs.
+
+TPU-native re-design of the reference's FastAMM (reference:
+src/fastamm.cc:548-672): each iteration picks a random start node and a
+Bernoulli(1e-4) coin chooses
+(a) an informative step — all the node's links plus its preprocessed
+    informative zeros (opt_process, src/fastamm.cc:914-1049), scale n/2;
+(b) a non-informative step — noninf_setsize (200) random non-informative
+    zeros from a shuffled-node ring (opt_process_noninf,
+    src/fastamm.cc:1051-1126), scale n^2 / (2 eps_inf setsize).
+Per-pair coupled phi fixed points produce sufficient statistics; ONLY the
+touched nodes take a gamma step, each with its own Robbins-Monro counter
+(src/fastamm.cc:592-602); lambda updates every iteration
+(src/fastamm.cc:604-616).
+
+The per-iteration pair set is tiny (deg + <=100 zeros, or 200 zeros), so
+the minibatch is assembled host-side and shipped as one padded block; the
+phi solve + scatter + the masked per-node update run as one jitted program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svinet_tpu.config import Config
+from svinet_tpu.graph import Network, _pair_key
+from svinet_tpu.ops.expectations import dirichlet_expectation
+from svinet_tpu.ops.phicomp import phi_fixed_point
+from svinet_tpu.svi.base import EngineBase
+
+INF_EPSILON = 1e-4       # reference: src/fastamm.cc:18
+NONINF_SETSIZE = 200     # reference: src/fastamm.cc:18
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("max_iters",))
+def fastamm_step(gamma, lam, pairs, y, w, noderho, alpha, eta, scale,
+                 rhot, do_lambda, log_eps, max_iters: int,
+                 thresh: float = 1e-5):
+    """One FastAMM iteration. noderho: (n,1) per-node step size, 0 for
+    untouched nodes (their gamma rows stay fixed)."""
+    elogpi = dirichlet_expectation(gamma)
+    elogbeta = dirichlet_expectation(lam)
+    p, q = pairs[:, 0], pairs[:, 1]
+    phi1, phi2 = phi_fixed_point(elogpi[p], elogpi[q], elogbeta, y,
+                                 log_eps, max_iters, thresh)
+    wc = w[:, None]
+    gacc = jnp.zeros_like(gamma)
+    gacc = gacc.at[p].add(wc * phi1)
+    gacc = gacc.at[q].add(wc * phi2)
+    pp = phi1 * phi2 * wc
+    yf = (y == 1)[:, None]
+    lacc = jnp.stack([jnp.where(yf, pp, 0.0).sum(0),
+                      jnp.where(yf, 0.0, pp).sum(0)], axis=1)
+
+    gammat = alpha + scale * gacc
+    gamma = (1.0 - noderho) * gamma + noderho * gammat
+    lambdat = eta + scale * lacc
+    lam = jnp.where(do_lambda > 0,
+                    (1.0 - rhot) * lam + rhot * lambdat, lam)
+    return gamma, lam
+
+
+class FastAMM(EngineBase):
+    """Host driver for -infset (requires a -preprocess run or computes the
+    neighborhood sets inline when neighbors.bin is absent)."""
+
+    def __init__(self, cfg: Config, network: Network,
+                 rng: Optional[np.random.Generator] = None):
+        super().__init__(cfg, network, rng)
+        n, k = self.n, self.k
+
+        if network.sparse_zeros_ptr is None:
+            import os
+            nb = cfg.file_str("neighbors.bin")
+            if os.path.exists(nb):
+                network.load_neighborhood_sets(nb)
+            elif os.path.exists("neighbors.bin"):
+                network.load_neighborhood_sets("neighbors.bin")
+            else:
+                print("+ neighbors.bin not found; preprocessing inline")
+                network.set_neighborhood_sets(cfg)
+
+        from svinet_tpu.svi.mmsb import init_gamma_random
+        self.gamma = jnp.asarray(init_gamma_random(self.rng, n, k),
+                                 jnp.float32)
+        l0 = np.tile([cfg.eta0, cfg.eta1], (k, 1))
+        self.lam = jnp.asarray(l0, jnp.float32)
+        self.eta = jnp.asarray(l0, jnp.float32)
+        self.alpha = jnp.float32(cfg.alpha)
+        self.log_eps = jnp.float32(np.log(cfg.epsilon))
+
+        self._held_keys = network.heldout_keys()
+        if len(self._held_keys) == 0:
+            self._held_keys = np.array([-1], np.int64)
+        self._nodec = np.zeros(n, np.int64)
+        self._shuffled = self.rng.permutation(n)
+        self._lambda_start_iter = 0
+        # fixed padded batch size: max informative set or noninf set
+        max_deg = int(network.training_deg.max()) if n else 0
+        self._pad = 1 << int(np.ceil(np.log2(
+            max(max_deg + 100 + 1, NONINF_SETSIZE, 64))))
+
+    # ------------------------------------------------------------------
+    def _edge_ok(self, lo, hi) -> np.ndarray:
+        keys = _pair_key(lo.astype(np.int64), hi.astype(np.int64), self.n)
+        idx = np.clip(np.searchsorted(self._held_keys, keys), 0,
+                      len(self._held_keys) - 1)
+        return self._held_keys[idx] != keys
+
+    def _informative_sample(self) -> Tuple[np.ndarray, np.ndarray, list]:
+        r = int(self.rng.integers(0, self.n))
+        nbrs = self.network.neighbors(r).astype(np.int64)
+        zeros = self.network.sparse_zeros(r).astype(np.int64)
+        others = np.concatenate([nbrs, zeros])
+        ys = np.concatenate([np.ones(len(nbrs), np.int32),
+                             np.zeros(len(zeros), np.int32)])
+        lo = np.minimum(r, others)
+        hi = np.maximum(r, others)
+        ok = self._edge_ok(lo, hi) & (others != r)
+        pairs = np.stack([lo[ok], hi[ok]], 1)
+        nodes = [r] + [int(x) for x in others[ok]]
+        return pairs.astype(np.int32), ys[ok], nodes
+
+    def _noninf_sample(self) -> Tuple[np.ndarray, np.ndarray, list]:
+        r = int(self.rng.integers(0, self.n))
+        inf_set = set(int(x) for x in self.network.sparse_zeros(r))
+        start = int(self.rng.integers(0, self.n))
+        picked = []
+        q = start
+        scanned = 0
+        while len(picked) < NONINF_SETSIZE and scanned < 4 * self.n:
+            node = int(self._shuffled[q % self.n])
+            q += 1
+            scanned += 1
+            if node == r or node in inf_set:
+                continue
+            lo, hi = min(r, node), max(r, node)
+            if not self.network.y(np.array([lo]), np.array([hi]))[0] and \
+                    self._edge_ok(np.array([lo]), np.array([hi]))[0]:
+                picked.append(node)
+        others = np.asarray(picked, np.int64)
+        lo = np.minimum(r, others)
+        hi = np.maximum(r, others)
+        pairs = np.stack([lo, hi], 1).astype(np.int32) if len(others) else \
+            np.zeros((0, 2), np.int32)
+        nodes = [r] + [int(x) for x in others]
+        return pairs, np.zeros(len(others), np.int32), nodes
+
+    # ------------------------------------------------------------------
+    def _step(self) -> None:
+        cfg = self.cfg
+        n = self.n
+        coin = self.rng.uniform() < INF_EPSILON
+        if not coin:
+            pairs, ys, nodes = self._informative_sample()
+            scale = n / 2.0
+        else:
+            pairs, ys, nodes = self._noninf_sample()
+            scale = (float(n) * n) / (2.0 * INF_EPSILON * NONINF_SETSIZE)
+
+        pad = self._pad
+        pp = np.zeros((pad, 2), np.int32)
+        yy = np.zeros(pad, np.int32)
+        ww = np.zeros(pad, np.float32)
+        m = min(len(pairs), pad)
+        pp[:m] = pairs[:m]
+        yy[:m] = ys[:m]
+        ww[:m] = 1.0
+
+        noderho = np.zeros((n, 1), np.float32)
+        for a in nodes:
+            noderho[a, 0] = (cfg.nodetau0 + self._nodec[a]) ** (
+                -cfg.nodekappa)
+            self._nodec[a] += 1
+
+        rhot = (cfg.tau0 + (self.iteration - self._lambda_start_iter + 1)
+                ) ** (-cfg.kappa)
+        self.gamma, self.lam = fastamm_step(
+            self.gamma, self.lam, jnp.asarray(pp), jnp.asarray(yy),
+            jnp.asarray(ww), jnp.asarray(noderho), self.alpha, self.eta,
+            jnp.float32(scale), jnp.float32(rhot),
+            jnp.float32(0.0 if cfg.nolambda else 1.0), self.log_eps,
+            max_iters=cfg.online_iterations, thresh=cfg.meanchangethresh)
+
+    def infer(self) -> None:
+        cfg = self.cfg
+        while True:
+            if cfg.max_iterations and self.iteration > cfg.max_iterations:
+                self.do_on_stop()
+                return
+            self._step()
+            self.iteration += 1
+            if self.iteration % cfg.reportfreq == 0:
+                if self.report():
+                    self.do_on_stop()
+                    return

@@ -1,0 +1,207 @@
+"""MMSBOrig engine (-orig) — Airoldi et al. full-blockmodel batch VI.
+
+TPU-native re-design of the reference's MMSBInferOrig
+(reference: src/mmsbinferorig.cc:211-294): full K x K beta matrix with a
+point-estimated M-step beta_gh = sum y phi1_g phi2_h / sum phi1_g phi2_h,
+and a PhiComp2 local step over the K x K f matrix
+(reference: src/mmsbinferorig.hh:120-209):
+
+  phi1_g = softmax_g( Elogpi[p,g] + sum_h log f_gh phi2_h )
+  phi2_g = softmax_g( Elogpi[q,g] + sum_h log f_gh phi1_h )
+  f_gh   = beta_gh^y (1-beta_gh)^(1-y)
+
+The reference loops over ALL ordered pairs (p,q), p != q; by symmetry of
+the coupled update the (q,p) solution is the (p,q) solution with phi1/phi2
+swapped, so each unordered pair is solved once and contributes
+gamma_p += 2 phi1, gamma_q += 2 phi2 and the symmetrized K x K moment
+y*(phi1 phi2^T + phi2 phi1^T). The local step's K-vector-times-logf
+products run as (B,K)x(K,K) matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svinet_tpu.config import Config
+from svinet_tpu.graph import Network
+from svinet_tpu.ops.expectations import dirichlet_expectation, dirichlet_mean
+from svinet_tpu.ops.edges import pad_edges
+from svinet_tpu.evals.likelihood import HeldoutResult
+from svinet_tpu.io.writers import write_max, write_groups
+from svinet_tpu.svi.base import EngineBase
+
+
+def _phi2_fixed_point(elogpi_p, elogpi_q, logf1, logf0, y, max_iters,
+                      thresh):
+    """Coupled Jacobi fixed point over the K x K f matrix for B pairs."""
+    b, k = elogpi_p.shape
+    yf = (y == 1)[:, None]
+    phi0 = jnp.full((b, k), 1.0 / k, elogpi_p.dtype)
+
+    def matvec(phi):
+        # (B,K) @ (K,K)^T : row g = sum_h logf[g,h] phi_h
+        return jnp.where(yf, phi @ logf1.T, phi @ logf0.T)
+
+    def round_(state):
+        i, phi1, phi2, _ = state
+        n1 = jax.nn.softmax(elogpi_p + matvec(phi2), axis=-1)
+        n2 = jax.nn.softmax(elogpi_q + matvec(phi1), axis=-1)
+        change = jnp.maximum(jnp.abs(n1 - phi1).mean(-1),
+                             jnp.abs(n2 - phi2).mean(-1)).max()
+        return i + 1, n1, n2, change
+
+    def cond(state):
+        i, _, _, change = state
+        return (i < max_iters) & (change >= thresh)
+
+    _, phi1, phi2, _ = jax.lax.while_loop(
+        cond, round_, (0, phi0, phi0, jnp.asarray(jnp.inf, phi0.dtype)))
+    return phi1, phi2
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("num_blocks", "max_iters"))
+def orig_batch_step(gamma, beta, pairs, y, w, alpha,
+                    num_blocks: int, max_iters: int, thresh: float = 1e-5):
+    """One full batch iteration (reference: src/mmsbinferorig.cc:211-270)."""
+    n, k = gamma.shape
+    elogpi = dirichlet_expectation(gamma)
+    logf1 = jnp.log(jnp.maximum(beta, 1e-30))
+    logf0 = jnp.log(jnp.maximum(1.0 - beta, 1e-30))
+    p_blocks = pairs.reshape(num_blocks, -1, 2)
+    y_blocks = y.reshape(num_blocks, -1)
+    w_blocks = w.reshape(num_blocks, -1)
+
+    def block(carry, blk):
+        gacc, bnum, bden = carry
+        e, yy, ww = blk
+        p, q = e[:, 0], e[:, 1]
+        phi1, phi2 = _phi2_fixed_point(elogpi[p], elogpi[q], logf1, logf0,
+                                       yy, max_iters, thresh)
+        wc = ww[:, None]
+        gacc = gacc.at[p].add(2.0 * wc * phi1)
+        gacc = gacc.at[q].add(2.0 * wc * phi2)
+        # symmetrized ordered-pair moments, weighted (B,K)x(B,K) -> (K,K)
+        w1 = phi1 * wc
+        yw1 = phi1 * (wc * yy[:, None])
+        outer_all = w1.T @ phi2
+        outer_y = yw1.T @ phi2
+        bnum = bnum + outer_y + outer_y.T
+        bden = bden + outer_all + outer_all.T
+        return (gacc, bnum, bden), None
+
+    (gacc, bnum, bden), _ = jax.lax.scan(
+        block,
+        (jnp.zeros((n, k), gamma.dtype), jnp.zeros((k, k), gamma.dtype),
+         jnp.zeros((k, k), gamma.dtype)),
+        (p_blocks, y_blocks, w_blocks))
+
+    gamma_new = alpha + gacc
+    beta_new = jnp.clip(bnum / jnp.maximum(bden, 1e-30), 1e-5, 1.0 - 1e-5)
+    return gamma_new, beta_new
+
+
+@jax.jit
+def orig_edge_loglik(gamma, beta, pairs, y):
+    """s = sum_gh pi_p,g pi_q,h beta_gh^y (1-beta_gh)^(1-y)
+    (reference: MMSBInferOrig::edge_likelihood)."""
+    pi = dirichlet_mean(gamma)
+    pp = pi[pairs[:, 0]]
+    qq = pi[pairs[:, 1]]
+    rate = jnp.where(y[:, None, None] == 1, beta[None], 1.0 - beta[None])
+    s = jnp.einsum("bg,bgh,bh->b", pp, rate, qq)
+    return jnp.log(jnp.maximum(s, 1e-30))
+
+
+class MMSBOrig(EngineBase):
+    """Host driver for -orig."""
+
+    def __init__(self, cfg: Config, network: Network,
+                 rng: Optional[np.random.Generator] = None):
+        super().__init__(cfg, network, rng)
+        n, k = self.n, self.k
+        g0 = self.rng.gamma(100.0, 0.01, size=(n, k))
+        b0 = np.clip(self.rng.integers(0, 100, size=(k, k)) / 100.0,
+                     0.01, 0.99)
+        self.gamma = jnp.asarray(g0, jnp.float32)
+        self.beta = jnp.asarray(b0, jnp.float32)
+        self._block = min(cfg.edge_block, 2048)
+
+        from svinet_tpu.graph import _pair_key
+        self._held_keys = network.heldout_keys()
+        if len(self._held_keys) == 0:
+            self._held_keys = np.array([-1], np.int64)
+        iu = np.triu_indices(n, k=1)
+        lo = iu[0].astype(np.int64)
+        hi = iu[1].astype(np.int64)
+        keys = _pair_key(lo, hi, n)
+        idx = np.clip(np.searchsorted(self._held_keys, keys), 0,
+                      len(self._held_keys) - 1)
+        ok = self._held_keys[idx] != keys
+        pairs = np.stack([lo[ok], hi[ok]], 1).astype(np.int32)
+        ys = network.y(pairs[:, 0], pairs[:, 1]).astype(np.int32)
+        pp, mask = pad_edges(pairs, self._block)
+        yy = np.zeros(len(pp), np.int32)
+        yy[: len(ys)] = ys
+        self.pairs = jnp.asarray(pp)
+        self.y = jnp.asarray(yy)
+        self.w = jnp.asarray(mask)
+        self.nb = len(pp) // self._block
+
+    def report(self) -> bool:
+        cfg = self.cfg
+        ll = np.asarray(orig_edge_loglik(self.gamma, self.beta,
+                                         self.val_pairs, self.val_y))
+        y = np.asarray(self.val_y)
+        ones = y == 1
+        res = HeldoutResult(
+            avg=float(ll.mean()), count=len(ll),
+            avg0=float(ll[~ones].mean()) if (~ones).any() else 0.0,
+            count0=int((~ones).sum()),
+            avg1=float(ll[ones].mean()) if ones.any() else 0.0,
+            count1=int(ones.sum()))
+        nshol = self._vf.write(self.iteration, self.duration(), res,
+                               cfg.zeros_prob, cfg.ones_prob)
+        self._hf.write(self.iteration, self.duration(), res,
+                       cfg.zeros_prob, cfg.ones_prob)
+        stop = self.stopper.update(self.iteration, nshol)
+        self._last_stop_raw = stop
+        write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
+                  nshol, self.stopper.max_t, self.stopper.max_h,
+                  self.stopper.why)
+        return stop and cfg.use_validation_stop
+
+    def batch_infer(self) -> None:
+        cfg = self.cfg
+        while True:
+            if cfg.max_iterations and self.iteration > cfg.max_iterations:
+                self.do_on_stop()
+                return
+            self.gamma, self.beta = orig_batch_step(
+                self.gamma, self.beta, self.pairs, self.y, self.w,
+                jnp.float32(cfg.alpha), num_blocks=self.nb,
+                max_iters=cfg.online_iterations,
+                thresh=cfg.meanchangethresh)
+            self.iteration += 1
+            if self.iteration % cfg.reportfreq == 0:
+                if self.report():
+                    self.do_on_stop()
+                    return
+
+    def do_on_stop(self) -> None:
+        cfg = self.cfg
+        gamma = np.asarray(self.gamma)
+        beta = np.asarray(self.beta)
+        with open(cfg.file_str("gamma.txt"), "w") as f:
+            for i in range(self.n):
+                vals = "\t".join(f"{v:.5f}" for v in gamma[i])
+                f.write(f"{i}\t{int(self.network.seq2id[i])}\t{vals}\n")
+        with open(cfg.file_str("beta.txt"), "w") as f:
+            for g in range(self.k):
+                f.write("\t".join(f"{v:.5f}" for v in beta[g]) + "\n")
+        write_groups(cfg.file_str("groups.txt"), gamma, self.network.seq2id)

@@ -1,0 +1,212 @@
+"""SBM engine (-single) — single-membership stochastic blockmodel.
+
+TPU-native re-design of the reference's SBM (reference: src/sbm.cc):
+global gamma (K,) Dirichlet over group proportions (alpha = sbm_alpha =
+0.5, src/env.hh:345), per-node soft assignments phi (n,K), lambda (K+1,2)
+where row K is the cross-community link rate (src/sbm.hh:126-132).
+
+batch_infer (reference: src/sbm.cc:457-543): an inner E-step of up to 10
+rounds updating every node's phi,
+
+  phi_pk ~ exp( Elogpi_k
+                + sum_{q:y=1} [phi_qk (A_k - A_K)]        A = Elogbeta[.,0]
+                + sum_{q:y=0} [phi_qk (B_k - B_K)] )      B = Elogbeta[.,1]
+
+(the per-node terms deg_p*A_K and n0_p*B_K are constant over k and cancel
+in the softmax; reference: batch_update_phi src/sbm.cc:415-455), stopping
+when the total phi change < 0.01; then the M-step
+
+  gamma_k   = alpha + sum_i phi_ik
+  lambda_k  = eta + (sum_links y phiphi, sum_nonlinks phiphi)
+  lambda_K  = eta + (sum_k sum_links (1-phiphi),
+                     sum_k sum_nonlinks (1-phiphi))
+(reference: src/sbm.cc:485-525).
+
+The reference's E-step is Gauss-Seidel over nodes; here it is the Jacobi
+(simultaneous) variant — the vectorizable fixed point with the same
+stationary points — so one round is one edge-segment-sum plus one (n,K)
+softmax on the VPU. Nonlink sums use totals minus link sums: the O(n^2)
+pair loop never materializes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svinet_tpu.config import Config
+from svinet_tpu.graph import Network
+from svinet_tpu.ops.expectations import dirichlet_expectation
+from svinet_tpu.ops.edges import pad_edges
+from svinet_tpu.evals.likelihood import HeldoutResult
+from svinet_tpu.io.writers import write_max
+from svinet_tpu.svi.base import EngineBase
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("estep_rounds",))
+def sbm_batch_step(phi, gamma, lam, edges, mask, alpha, eta,
+                   n_valid_pairs, estep_rounds: int = 10):
+    """One batch coordinate-ascent iteration: E-step fixed point + M-step."""
+    n, k = phi.shape
+    elogpi = dirichlet_expectation(gamma)          # (K,)
+    elogbeta = dirichlet_expectation(lam)          # (K+1,2)
+    a = elogbeta[:k, 0]
+    b = elogbeta[:k, 1]
+    a_cross = elogbeta[k, 0]
+    b_cross = elogbeta[k, 1]
+    p, q = edges[:, 0], edges[:, 1]
+    mcol = mask[:, None]
+
+    def estep_round(state):
+        i, phi, _ = state
+        # S1 = sum of neighbor phis over training links (both directions)
+        s1 = jnp.zeros_like(phi)
+        s1 = s1.at[p].add(phi[q] * mcol)
+        s1 = s1.at[q].add(phi[p] * mcol)
+        tot = phi.sum(0)[None, :] - phi             # exclude self
+        s0 = tot - s1
+        logits = elogpi[None, :] + s1 * (a - a_cross) + s0 * (b - b_cross)
+        phi_new = jax.nn.softmax(logits, axis=-1)
+        change = jnp.abs(phi_new - phi).sum()
+        return i + 1, phi_new, change
+
+    def cond(state):
+        i, _, change = state
+        return (i < estep_rounds) & (change >= 0.01)
+
+    _, phi, _ = jax.lax.while_loop(
+        cond, estep_round, (0, phi, jnp.asarray(jnp.inf, phi.dtype)))
+
+    # ---- M-step --------------------------------------------------------
+    gamma_new = alpha + phi.sum(0)
+
+    link_pp = ((phi[p] * phi[q]) * mcol).sum(0)     # (K,) sum over links
+    t = phi.sum(0)
+    all_pp = 0.5 * (t * t - (phi * phi).sum(0))     # sum over ALL i<j pairs
+    zero_pp = jnp.maximum(all_pp - link_pp, 0.0)
+    n_links = mask.sum()
+    n_zeros = jnp.maximum(n_valid_pairs - n_links, 0.0)
+
+    lam_k = jnp.stack([link_pp, zero_pp], axis=1)
+    lam_cross = jnp.stack([
+        (k * n_links - link_pp.sum())[None],
+        (k * n_zeros - zero_pp.sum())[None]], axis=1).reshape(1, 2)
+    lam_new = eta + jnp.concatenate([lam_k, lam_cross], axis=0)
+    return phi, gamma_new, lam_new
+
+
+@jax.jit
+def sbm_edge_loglik(phi, lam, pairs, y):
+    """Reference: SBM::edge_likelihood2, src/sbm.hh:285-308."""
+    k = phi.shape[1]
+    rate = lam[:, 0] / (lam[:, 0] + lam[:, 1])     # (K+1,)
+    pp = (phi[pairs[:, 0]] * phi[pairs[:, 1]])     # (B,K)
+    inner = pp.sum(-1)
+    r = jnp.where(y[:, None] == 1, rate[None, :k], 1.0 - rate[None, :k])
+    rc = jnp.where(y == 1, rate[k], 1.0 - rate[k])
+    s = (pp * r).sum(-1) + (1.0 - inner) * rc
+    return jnp.log(jnp.maximum(s, 1e-30))
+
+
+class SBM(EngineBase):
+    """Host driver for -single."""
+
+    def __init__(self, cfg: Config, network: Network,
+                 rng: Optional[np.random.Generator] = None):
+        super().__init__(cfg, network, rng)
+        n, k = self.n, self.k
+        self.sbm_alpha = 0.5  # reference: src/env.hh:345
+
+        g0 = self.rng.gamma(100.0 * (100.0 / k), 0.01, size=k)
+        phi0 = self.rng.gamma((100.0 / k) * 100.0, 0.01, size=(n, k))
+        phi0 /= phi0.sum(1, keepdims=True)
+        scale = 1.0 if k <= 100 else 100.0 / k
+        l0 = self.rng.gamma(100.0 * scale, 0.01, size=(k + 1, 2))
+        self.gamma_k = jnp.asarray(g0, jnp.float32)     # (K,) global
+        self.phi = jnp.asarray(phi0, jnp.float32)
+        self.lam = jnp.asarray(l0, jnp.float32)
+        self.eta = jnp.asarray(
+            np.tile([cfg.eta0, cfg.eta1], (k + 1, 1)), jnp.float32)
+
+        e, m = pad_edges(network.training_links, cfg.edge_block)
+        self.edges = jnp.asarray(e)
+        self.mask = jnp.asarray(m)
+        n_held = len(network.validation_pairs) + len(network.test_pairs)
+        self.n_valid_pairs = jnp.float32(network.total_pairs - n_held)
+
+    # EngineBase.report uses (gamma, lam) mixed-membership likelihood;
+    # SBM overrides with its phi-based mixture.
+    def report(self) -> bool:
+        cfg = self.cfg
+        ll = np.asarray(sbm_edge_loglik(self.phi, self.lam, self.val_pairs,
+                                        self.val_y))
+        y = np.asarray(self.val_y)
+        ones = y == 1
+        res = HeldoutResult(
+            avg=float(ll.mean()), count=len(ll),
+            avg0=float(ll[~ones].mean()) if (~ones).any() else 0.0,
+            count0=int((~ones).sum()),
+            avg1=float(ll[ones].mean()) if ones.any() else 0.0,
+            count1=int(ones.sum()))
+        nshol = self._vf.write(self.iteration, self.duration(), res,
+                               cfg.zeros_prob, cfg.ones_prob)
+        self._hf.write(self.iteration, self.duration(), res,
+                       cfg.zeros_prob, cfg.ones_prob)
+        stop = self.stopper.update(self.iteration, nshol)
+        self._last_stop_raw = stop
+        write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
+                  nshol, self.stopper.max_t, self.stopper.max_h,
+                  self.stopper.why)
+        return stop and cfg.use_validation_stop
+
+    def batch_infer(self) -> None:
+        cfg = self.cfg
+        while True:
+            if cfg.max_iterations and self.iteration > cfg.max_iterations:
+                self.do_on_stop()
+                return
+            self.phi, self.gamma_k, self.lam = sbm_batch_step(
+                self.phi, self.gamma_k, self.lam, self.edges, self.mask,
+                jnp.float32(self.sbm_alpha), self.eta, self.n_valid_pairs)
+            self.iteration += 1
+            if self.iteration % cfg.reportfreq == 0:
+                if self.report():
+                    self.do_on_stop()
+                    return
+
+    def infer(self) -> None:
+        """Stochastic (infset) variant falls back to batch coordinate
+        ascent until the informative-set sampler lands (reference runs
+        SBM::infer only after -preprocess; src/sbm.cc:545-588)."""
+        self.batch_infer()
+
+    def do_on_stop(self) -> None:
+        cfg = self.cfg
+        phi = np.asarray(self.phi)
+        lam = np.asarray(self.lam)
+        # save phi rows as gamma.txt (the per-node variational params) and
+        # the (K+1)x2 lambda (reference: SBM::save_model, src/sbm.cc:298-340)
+        with open(cfg.file_str("gamma.txt"), "w") as f:
+            for i in range(self.n):
+                vals = "\t".join(f"{v:.5f}" for v in phi[i])
+                f.write(f"{i}\t{int(self.network.seq2id[i])}\t{vals}\n")
+        with open(cfg.file_str("lambda.txt"), "w") as f:
+            for kk in range(lam.shape[0]):
+                f.write(f"{kk}\t{lam[kk,0]:.5f}\t{lam[kk,1]:.5f}\n")
+        groups = phi.argmax(1)
+        with open(cfg.file_str("groups.txt"), "w") as f:
+            for i in range(self.n):
+                vals = "\t".join(f"{v:.3f}" for v in phi[i])
+                f.write(f"{i}\t{int(self.network.seq2id[i])}\t{vals}\t"
+                        f"{int(groups[i])}\n")
+        comms = {}
+        for i, g in enumerate(groups):
+            comms.setdefault(int(g), []).append(i)
+        from svinet_tpu.io.writers import write_communities
+        write_communities(cfg.file_str("communities.txt"), comms,
+                          self.network.seq2id)
