@@ -124,6 +124,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.eta_type = nxt()
         elif a == "-heldout-ratio":
             cfg.heldout_ratio = float(nxt())
+        elif a == "-alpha":
+            cfg.alpha = float(nxt())
         elif a == "-label":
             cfg.label = nxt()
         elif a == "-load":
@@ -256,6 +258,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg.informative_sampling:
         from svinet_tpu.svi.fastamm import FastAMM
         engine = FastAMM(cfg, network)
+        engine_box["engine"] = engine
+        engine.infer()
+        return 0
+    if cfg.stratified and cfg.randomnode:
+        from svinet_tpu.svi.fastamm2 import FastAMM2
+        engine = FastAMM2(cfg, network)
         engine_box["engine"] = engine
         engine.infer()
         return 0

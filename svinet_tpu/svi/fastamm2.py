@@ -1,0 +1,183 @@
+"""FastAMM2 engine (-stratified -rnode) — stratified node SVI.
+
+TPU-native re-design of the reference's FastAMM2 (reference:
+src/fastamm2.cc:534-702): like FastAMM but with inf_epsilon = 0.5 and
+m = 10 non-informative sets of size n/m (src/fastamm2.cc:11-15, 1101);
+the preprocessed zero-sets are disabled (NULL, src/fastamm2.cc:1009).
+Each iteration flips a fair coin:
+(a) informative step — a random start node's training links,
+    scale = n / (2 (1 - eps));
+(b) non-informative step — n/m random nonlink partners of the start node
+    from a shuffled ring, scale = n m / (2 eps).
+ALL n nodes update every iteration — nodes outside the minibatch shrink
+toward alpha (src/fastamm2.cc:605-624) — which makes the gamma update the
+same uniform Robbins-Monro step as classic SVI with gamma_hat = 0 off the
+minibatch; the per-node counters all advance together, so the step size
+is one scalar. The engine therefore reuses svi_step from svi/mmsb.py.
+Reports include precision@10/100/1000 with hitcurve files and the
+Adamic-Adar baseline (src/fastamm2.cc:1394-1588).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from svinet_tpu.config import Config
+from svinet_tpu.graph import Network, _pair_key
+from svinet_tpu.evals.likelihood import link_probs
+from svinet_tpu.evals.precision import (
+    precision_counts, write_hitcurve, adamic_adar_scores, auc)
+from svinet_tpu.svi.base import EngineBase
+from svinet_tpu.svi.mmsb import svi_step
+
+INF_EPSILON = 0.5   # reference: src/fastamm2.cc:15
+M_SETS = 10         # reference: src/fastamm2.cc:11
+
+
+class FastAMM2(EngineBase):
+    """Host driver for -stratified -rnode."""
+
+    def __init__(self, cfg: Config, network: Network,
+                 rng: Optional[np.random.Generator] = None):
+        cfg.create_test_precision_sets = True
+        super().__init__(cfg, network, rng)
+        n, k = self.n, self.k
+
+        v = 1.0 if k < 100 else 100.0 / k
+        g0 = self.rng.gamma(100.0 * v, 0.01, size=(n, k))
+        l0 = np.tile([cfg.eta0, cfg.eta1], (k, 1)) + \
+            self.rng.gamma(100.0 * (1.0 if k <= 100 else 100.0 / k), 0.01,
+                           size=(k, 2))
+        self.gamma = jnp.asarray(g0, jnp.float32)
+        self.lam = jnp.asarray(l0, jnp.float32)
+        self.eta = jnp.asarray(np.tile([cfg.eta0, cfg.eta1], (k, 1)),
+                               jnp.float32)
+        self.alpha = jnp.float32(cfg.alpha)
+        self.log_eps = float(np.log(cfg.epsilon))
+
+        self._held_keys = network.heldout_keys()
+        if len(self._held_keys) == 0:
+            self._held_keys = np.array([-1], np.int64)
+        self._shuffled = self.rng.permutation(n)
+        self._lambda_start_iter = 0
+        self._hitcurve_id = 0
+        self._pf = open(cfg.file_str("precision.txt"), "w")
+        self._block = 512
+        max_deg = int(network.training_deg.max()) if n else 1
+        setsize = max(1, n // M_SETS)
+        pad = max(max_deg, setsize, self._block)
+        self._pad = ((pad + self._block - 1) // self._block) * self._block
+        self.precision_pairs = network.precision_pairs
+        self.precision_y = network.precision_y
+
+    def _edge_ok(self, lo, hi) -> np.ndarray:
+        keys = _pair_key(lo.astype(np.int64), hi.astype(np.int64), self.n)
+        idx = np.clip(np.searchsorted(self._held_keys, keys), 0,
+                      len(self._held_keys) - 1)
+        return self._held_keys[idx] != keys
+
+    # ------------------------------------------------------------------
+    def _sample(self) -> Tuple[np.ndarray, np.ndarray, float]:
+        n = self.n
+        r = int(self.rng.integers(0, n))
+        if self.rng.uniform() >= INF_EPSILON:   # informative step
+            others = self.network.neighbors(r).astype(np.int64)
+            ys = np.ones(len(others), np.int32)
+            scale = n / (2.0 * (1.0 - INF_EPSILON))
+        else:                                   # non-informative step
+            setsize = max(1, n // M_SETS)
+            start = int(self.rng.integers(0, n))
+            picked = []
+            q = start
+            scanned = 0
+            while len(picked) < setsize and scanned < 4 * n:
+                node = int(self._shuffled[q % n])
+                q += 1
+                scanned += 1
+                if node == r:
+                    continue
+                lo, hi = min(r, node), max(r, node)
+                if not self.network.y(np.array([lo]), np.array([hi]))[0]:
+                    picked.append(node)
+            others = np.asarray(picked, np.int64)
+            ys = np.zeros(len(others), np.int32)
+            scale = (float(n) * M_SETS) / (2.0 * INF_EPSILON)
+        lo = np.minimum(r, others)
+        hi = np.maximum(r, others)
+        ok = self._edge_ok(lo, hi) & (others != r)
+        pairs = np.stack([lo[ok], hi[ok]], 1).astype(np.int32)
+        return pairs, ys[ok], scale
+
+    def _step(self) -> None:
+        cfg = self.cfg
+        pairs, ys, scale = self._sample()
+        pad = self._pad
+        pp = np.zeros((pad, 2), np.int32)
+        yy = np.zeros(pad, np.int32)
+        ww = np.zeros(pad, np.float32)
+        m = min(len(pairs), pad)
+        pp[:m] = pairs[:m]
+        yy[:m] = ys[:m]
+        ww[:m] = 1.0
+
+        it = self.iteration
+        noderhot = (cfg.nodetau0 + it) ** (-cfg.nodekappa)
+        rhot = (cfg.tau0 + (it - self._lambda_start_iter + 1)) ** (-cfg.kappa)
+        self.gamma, self.lam = svi_step(
+            self.gamma, self.lam, jnp.asarray(pp), jnp.asarray(yy),
+            jnp.asarray(ww), self.alpha, self.eta,
+            jnp.float32(scale), jnp.float32(scale),
+            jnp.float32(noderhot), jnp.float32(rhot),
+            jnp.float32(0.0 if cfg.nolambda else 1.0),
+            jnp.float32(self.log_eps),
+            num_blocks=pad // self._block,
+            max_iters=cfg.online_iterations, thresh=cfg.meanchangethresh)
+
+    # ------------------------------------------------------------------
+    def compute_precision(self) -> Tuple[int, int, int]:
+        """Reference: src/fastamm2.cc:1394-1460."""
+        if not len(self.precision_pairs):
+            return 0, 0, 0
+        scores = np.asarray(link_probs(self.gamma, self.lam,
+                                       jnp.asarray(self.precision_pairs)))
+        c10, c100, c1000, cum = precision_counts(scores, self.precision_y)
+        write_hitcurve(
+            self.cfg.file_str(f"hitcurve_{self._hitcurve_id}.txt"), cum)
+        self._hitcurve_id += 1
+        self._pf.write(f"{self.iteration}\t{self.duration()}\t"
+                       f"{c10}\t{c100}\t{c1000}\n")
+        self._pf.flush()
+        return c10, c100, c1000
+
+    def log_adamic_adar_baseline(self) -> None:
+        """Reference: src/fastamm2.cc:1503-1588."""
+        if not len(self.precision_pairs):
+            return
+        scores = adamic_adar_scores(self.network, self.precision_pairs)
+        c10, c100, c1000, cum = precision_counts(scores, self.precision_y)
+        with open(self.cfg.file_str("adamic-adar.txt"), "w") as f:
+            f.write(f"{c10}\t{c100}\t{c1000}\t"
+                    f"{auc(scores, self.precision_y):.5f}\n")
+        write_hitcurve(self.cfg.file_str("hitcurve_adamic_adar.txt"), cum)
+
+    def report(self) -> bool:
+        stop = super().report()
+        self.compute_precision()
+        return stop
+
+    def infer(self) -> None:
+        cfg = self.cfg
+        self.log_adamic_adar_baseline()
+        while True:
+            if cfg.max_iterations and self.iteration > cfg.max_iterations:
+                self.do_on_stop()
+                return
+            self._step()
+            self.iteration += 1
+            if self.iteration % cfg.reportfreq == 0:
+                if self.report():
+                    self.do_on_stop()
+                    return

@@ -151,6 +151,9 @@ class MMSBInfer(EngineBase):
         self._lambda_start_iter = 0
         self._delaylearn_reported = False
         self._block = min(cfg.edge_block, 2048)
+        self._lf = open(cfg.file_str("logl.txt"), "w") if cfg.logl else None
+        self._mf = open(cfg.file_str("modularity.txt"), "w")
+        self._elbo_cache = None
 
     # ------------------------------------------------------------------
     def _y_of(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
@@ -271,6 +274,38 @@ class MMSBInfer(EngineBase):
 
         if cfg.stratified:
             self._family = 0 if self._family else 1
+
+    def report(self) -> bool:
+        stop = super().report()
+        from svinet_tpu.evals.modularity import modularity
+        q, assor = modularity(self.gamma, *self._community_edges(),
+                              jnp.asarray(self.network.training_deg,
+                                          jnp.float32))
+        self._mf.write(f"{self.iteration}\t{self.duration()}\t"
+                       f"{float(q):.5f}\t{float(assor):.5f}\n")
+        self._mf.flush()
+        if self._lf is not None:
+            from svinet_tpu.evals.elbo import approx_elbo
+            pairs_d, y_d, w_d, nb = self._elbo_pairs()
+            s = approx_elbo(self.gamma, self.lam, pairs_d, y_d, w_d,
+                            jnp.float32(self.cfg.alpha), self.eta,
+                            jnp.float32(self.log_eps), num_blocks=nb,
+                            max_iters=self.cfg.online_iterations,
+                            thresh=self.cfg.meanchangethresh)
+            self._lf.write(f"{self.iteration}\t{self.duration()}\t"
+                           f"{float(s):.5f}\n")
+            self._lf.flush()
+        return stop
+
+    def _elbo_pairs(self):
+        if self._elbo_cache is None:
+            pairs, y = self._all_training_pairs()
+            pp, mask = pad_edges(pairs, self._block)
+            yy = np.zeros(len(pp), np.int32)
+            yy[: len(y)] = y
+            self._elbo_cache = (jnp.asarray(pp), jnp.asarray(yy),
+                                jnp.asarray(mask), len(pp) // self._block)
+        return self._elbo_cache
 
     def infer(self) -> None:
         cfg = self.cfg
