@@ -1,0 +1,150 @@
+// Native graph-ingest and TSV-emit runtime for svinet-tpu.
+//
+// TPU-native counterpart of the reference's C++ data layer
+// (reference: Network::read, src/network.cc:10-159, and the save_model
+// writers, src/linksampling.cc:804-837). The compute path is JAX/XLA;
+// this file is the host runtime around it: multithreaded edge-list
+// parsing (mmap + hand-rolled integer scanning, one thread per chunk)
+// and buffered TSV matrix emission, callable from Python via ctypes.
+//
+// Build: make -C native   (produces libsvinet_native.so)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct ChunkResult {
+  std::vector<int64_t> vals;
+};
+
+// Scan whitespace-separated decimal integers in [begin, end).
+void scan_chunk(const char* begin, const char* end, ChunkResult* out) {
+  out->vals.reserve((end - begin) / 8);
+  const char* p = begin;
+  while (p < end) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' ||
+                       *p == '\r' || *p == ','))
+      ++p;
+    if (p >= end) break;
+    bool neg = false;
+    if (*p == '-') { neg = true; ++p; }
+    int64_t v = 0;
+    bool got = false;
+    while (p < end && *p >= '0' && *p <= '9') {
+      v = v * 10 + (*p - '0');
+      ++p;
+      got = true;
+    }
+    if (got) out->vals.push_back(neg ? -v : v);
+    else ++p;  // skip junk byte
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse a whitespace/comma-separated integer file into an int64 buffer.
+// Returns a malloc'd buffer the caller frees with svinet_free; *out_count
+// receives the number of integers. Returns nullptr on error.
+int64_t* svinet_parse_ints(const char* path, int64_t* out_count,
+                           int nthreads) {
+  *out_count = 0;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size == 0) {
+    close(fd);
+    return nullptr;
+  }
+  size_t size = static_cast<size_t>(st.st_size);
+  const char* data = static_cast<const char*>(
+      mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0));
+  close(fd);
+  if (data == MAP_FAILED) return nullptr;
+  madvise(const_cast<char*>(data), size, MADV_SEQUENTIAL);
+
+  int t = nthreads > 0 ? nthreads
+                       : static_cast<int>(std::thread::hardware_concurrency());
+  if (t < 1) t = 1;
+  if (size < (1 << 20)) t = 1;  // small file: single thread
+
+  // chunk boundaries aligned to whitespace so no token is split
+  std::vector<const char*> bounds(t + 1);
+  bounds[0] = data;
+  bounds[t] = data + size;
+  for (int i = 1; i < t; ++i) {
+    const char* p = data + (size * i) / t;
+    while (p < data + size && !(*p == ' ' || *p == '\t' || *p == '\n' ||
+                                *p == '\r' || *p == ','))
+      ++p;
+    bounds[i] = p;
+  }
+
+  std::vector<ChunkResult> results(t);
+  std::vector<std::thread> threads;
+  threads.reserve(t);
+  for (int i = 0; i < t; ++i)
+    threads.emplace_back(scan_chunk, bounds[i], bounds[i + 1], &results[i]);
+  for (auto& th : threads) th.join();
+  munmap(const_cast<char*>(data), size);
+
+  size_t total = 0;
+  for (auto& r : results) total += r.vals.size();
+  int64_t* out = static_cast<int64_t*>(malloc(total * sizeof(int64_t)));
+  if (!out) return nullptr;
+  size_t off = 0;
+  for (auto& r : results) {
+    memcpy(out + off, r.vals.data(), r.vals.size() * sizeof(int64_t));
+    off += r.vals.size();
+  }
+  *out_count = static_cast<int64_t>(total);
+  return out;
+}
+
+void svinet_free(void* p) { free(p); }
+
+// Write an (n, k) float32 matrix as TSV rows:
+//   <seq>\t<ext_id>\t<v0>\t...\t<vk-1>\n     with `decimals` precision.
+// Returns 0 on success.
+int svinet_write_matrix_tsv(const char* path, const float* m, int64_t n,
+                            int64_t k, const int64_t* ext_ids,
+                            int decimals) {
+  FILE* f = fopen(path, "w");
+  if (!f) return -1;
+  std::vector<char> buf(1 << 22);
+  setvbuf(f, buf.data(), _IOFBF, buf.size());
+  for (int64_t i = 0; i < n; ++i) {
+    fprintf(f, "%lld\t%lld", static_cast<long long>(i),
+            static_cast<long long>(ext_ids ? ext_ids[i] : i));
+    for (int64_t j = 0; j < k; ++j)
+      fprintf(f, "\t%.*f", decimals, static_cast<double>(m[i * k + j]));
+    fputc('\n', f);
+  }
+  fclose(f);
+  return 0;
+}
+
+// Write an (e, 2) int32 edge array as "<src>\t<dst>\n" lines.
+int svinet_write_edges_tsv(const char* path, const int32_t* edges,
+                           int64_t e) {
+  FILE* f = fopen(path, "w");
+  if (!f) return -1;
+  std::vector<char> buf(1 << 22);
+  setvbuf(f, buf.data(), _IOFBF, buf.size());
+  for (int64_t i = 0; i < e; ++i)
+    fprintf(f, "%d\t%d\n", edges[2 * i], edges[2 * i + 1]);
+  fclose(f);
+  return 0;
+}
+
+}  // extern "C"

@@ -78,7 +78,19 @@ class Network:
 
     # ------------------------------------------------------------------
     def read(self, path: str) -> None:
-        """Read an edge list file (reference: Network::read, src/network.cc:10-159)."""
+        """Read an edge list file (reference: Network::read, src/network.cc:10-159).
+
+        Numeric ids go through the native multithreaded parser
+        (native/ingest.cpp) when built; string ids (-strid) and the
+        fallback use Python."""
+        if not self.cfg.strid:
+            from svinet_tpu.io.native import parse_ints
+            raw = parse_ints(path)
+            if raw is not None:
+                if raw.size % 2:
+                    raw = raw[:-1]
+                self._build(raw.reshape(-1, 2))
+                return
         with open(path) as f:
             text = f.read()
         if self.cfg.strid:

@@ -19,14 +19,18 @@ import numpy as np
 
 def save_model(outdir: str, gamma: np.ndarray, lam: np.ndarray,
                seq2id: np.ndarray) -> None:
-    """Write gamma.txt (seq, ext-id, K values) and lambda.txt (k, lam0, lam1)."""
+    """Write gamma.txt (seq, ext-id, K values) and lambda.txt (k, lam0, lam1).
+    gamma.txt goes through the native buffered writer when available."""
     gamma = np.asarray(gamma)
     lam = np.asarray(lam)
     n, k = gamma.shape
-    with open(os.path.join(outdir, "gamma.txt"), "w") as f:
-        for i in range(n):
-            vals = "\t".join(f"{gamma[i, j]:.5f}" for j in range(k))
-            f.write(f"{i}\t{int(seq2id[i])}\t{vals}\n")
+    from svinet_tpu.io.native import write_matrix_tsv
+    if not write_matrix_tsv(os.path.join(outdir, "gamma.txt"), gamma,
+                            np.asarray(seq2id)):
+        with open(os.path.join(outdir, "gamma.txt"), "w") as f:
+            for i in range(n):
+                vals = "\t".join(f"{gamma[i, j]:.5f}" for j in range(k))
+                f.write(f"{i}\t{int(seq2id[i])}\t{vals}\n")
     with open(os.path.join(outdir, "lambda.txt"), "w") as f:
         for i in range(lam.shape[0]):
             vals = "\t".join(f"{lam[i, t]:.5f}" for t in range(lam.shape[1]))

@@ -72,3 +72,19 @@ def test_ground_truth_loader(lfr_paths):
     assert len(net.ground_truth) == 28
     total = sum(len(c) for c in net.ground_truth)
     assert total >= 1000  # overlapping cover
+
+
+def test_native_parser_matches_python(tmp_path):
+    """The native mmap parser and the numpy fallback must agree."""
+    import numpy as np
+    from svinet_tpu.io.native import parse_ints, have_native
+    p = tmp_path / "edges.txt"
+    rng = np.random.default_rng(0)
+    edges = rng.integers(0, 5000, size=(4096, 2))
+    p.write_text("\n".join(f"{a}\t{b}" for a, b in edges) + "\n")
+    if not have_native():
+        import pytest
+        pytest.skip("native library not built")
+    got = parse_ints(str(p))
+    assert got is not None
+    np.testing.assert_array_equal(got.reshape(-1, 2), edges)
