@@ -126,6 +126,10 @@ def parse_args(argv: List[str]) -> Config:
             cfg.heldout_ratio = float(nxt())
         elif a == "-alpha":
             cfg.alpha = float(nxt())
+        elif a == "-checkpoint-freq":
+            cfg.checkpoint_freq = float(nxt())
+        elif a == "-resume":
+            cfg.resume = True
         elif a == "-label":
             cfg.label = nxt()
         elif a == "-load":
@@ -203,6 +207,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         eng = engine_box.get("engine")
         if eng is not None:
             eng.do_on_stop()
+            try:
+                eng.save_checkpoint()
+            except Exception:
+                pass
         sys.exit(0)
 
     signal.signal(signal.SIGTERM, _term)

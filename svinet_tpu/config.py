@@ -112,6 +112,8 @@ class Config:
     num_devices: int = 0            # 0 = all visible devices
     edge_block: int = 8192          # padding granularity for edge arrays
     dtype: str = "float32"
+    checkpoint_freq: float = 0.0    # secs between native checkpoints (0=off)
+    resume: bool = False            # resume from <outdir>/ckpt if present
 
     # runtime-resolved (not user-set)
     total_pairs: int = field(default=0, repr=False)

@@ -85,10 +85,44 @@ class EngineBase:
         # gamma/lam set by subclass before infer()
         self.gamma = None
         self.lam = None
+        self._last_ckpt = time.time()
 
     # ------------------------------------------------------------------
     def duration(self) -> int:
         return int(time.time() - self._start)
+
+    # ------------------------------------------------------------------
+    def _state_dict(self):
+        """State captured by native checkpoints; subclasses extend."""
+        return {"gamma": self.gamma, "lam": self.lam,
+                "iteration": self.iteration}
+
+    def _restore_state(self, state) -> None:
+        import jax.numpy as jnp
+        self.gamma = jnp.asarray(state["gamma"])
+        self.lam = jnp.asarray(state["lam"])
+        self.iteration = int(state["iteration"])
+
+    def save_checkpoint(self) -> None:
+        from svinet_tpu.io.checkpoint import save_checkpoint
+        save_checkpoint(self.cfg.outdir, self._state_dict(), self.iteration)
+        self._last_ckpt = time.time()
+
+    def try_restore(self) -> bool:
+        """Resume from the newest native checkpoint in the output dir
+        (the reference's -load reads the TSV model instead,
+        src/linksampling.cc:1266-1352 — both paths are supported)."""
+        from svinet_tpu.io.checkpoint import load_checkpoint
+        state = load_checkpoint(self.cfg.outdir)
+        if state is None:
+            return False
+        self._restore_state(state)
+        return True
+
+    def _maybe_periodic_checkpoint(self) -> None:
+        freq = getattr(self.cfg, "checkpoint_freq", 0.0)
+        if freq and time.time() - self._last_ckpt >= freq:
+            self.save_checkpoint()
 
     def report(self) -> bool:
         """Validation likelihood + stopping logic. Returns True to stop."""
@@ -111,6 +145,7 @@ class EngineBase:
                   nshol, self.stopper.max_t, self.stopper.max_h,
                   self.stopper.why)
         self.log_communities()
+        self._maybe_periodic_checkpoint()
         return stop and cfg.use_validation_stop
 
     def log_communities(self) -> None:

@@ -111,6 +111,17 @@ class LinkSampling(EngineBase):
 
         self.annealing = True
         self._ce_cache = (self.edges, self.mask)  # reuse for communities
+        if cfg.resume and self.try_restore():
+            print(f"+ resumed from checkpoint at iteration {self.iteration}")
+
+    def _state_dict(self):
+        d = super()._state_dict()
+        d["annealing"] = bool(self.annealing)
+        return d
+
+    def _restore_state(self, state) -> None:
+        super()._restore_state(state)
+        self.annealing = bool(state.get("annealing", False))
 
     # ------------------------------------------------------------------
     def step(self) -> None:
