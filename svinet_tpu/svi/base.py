@@ -35,6 +35,7 @@ class EngineBase:
         self.cfg = cfg
         self.network = network
         self.rng = rng or np.random.default_rng(cfg.seed)
+        self._start = time.time()
         cfg.make_outdir()
 
         if cfg.load_heldout and cfg.load_heldout_fname:
@@ -51,9 +52,45 @@ class EngineBase:
         write_edgelist(cfg.file_str("validation-edges.txt"),
                        network.validation_pairs, network.validation_y,
                        network.seq2id)
+        # the reference names its first split "heldout"; both files exist
+        write_edgelist(cfg.file_str("heldout-edges.txt"),
+                       network.validation_pairs, network.validation_y,
+                       network.seq2id)
         if len(network.test_pairs):
             write_edgelist(cfg.file_str("test-edges.txt"),
                            network.test_pairs, network.test_y, network.seq2id)
+
+        # infer.log (reference: Logger, src/log.cc:9-127) + network.dat
+        # symlink of the input (reference: src/env.hh:621-625)
+        self._log = open(cfg.file_str("infer.log"), "w")
+        self.log("engine: %s  n: %d  k: %d", type(self).__name__,
+                 network.n, cfg.k)
+        import os
+        link = cfg.file_str("network.dat")
+        try:
+            if not os.path.exists(link) and os.path.exists(cfg.datfname):
+                os.symlink(os.path.abspath(cfg.datfname), link)
+        except OSError:
+            pass
+
+        # training-sample likelihood trace (reference: TRAINING_SAMPLE,
+        # training.txt in the bundled runs)
+        self._train_sample = self._make_training_sample()
+        self._trf = ReportFile(cfg.file_str("training.txt"))
+
+        # training-edges.txt: external-id dump of the training links
+        from svinet_tpu.io.native import write_edges_tsv
+        ext = network.seq2id[network.training_links.astype(np.int64)]
+        if not write_edges_tsv(cfg.file_str("training-edges.txt"),
+                               ext.astype(np.int32)):
+            with open(cfg.file_str("training-edges.txt"), "w") as f:
+                for p, q in ext:
+                    f.write(f"{int(p)}\t{int(q)}\n")
+
+        if network.ground_truth is not None:
+            with open(cfg.file_str("ground_truth_stats.txt"), "w") as f:
+                for ci, comm in enumerate(network.ground_truth):
+                    f.write(f"{ci}\t{len(comm)}\n")
 
         self.n, self.k = network.n, cfg.k
         self.val_pairs = jnp.asarray(network.validation_pairs)
@@ -65,7 +102,6 @@ class EngineBase:
 
         self.iteration = 0
         self.stopper = ValidationStop(stopthresh=cfg.stopthresh)
-        self._start = time.time()
         self._vf = ReportFile(cfg.file_str("validation.txt"))
         self._hf = ReportFile(cfg.file_str("heldout.txt"))
         self._tf = (ReportFile(cfg.file_str("test.txt"))
@@ -90,6 +126,28 @@ class EngineBase:
     # ------------------------------------------------------------------
     def duration(self) -> int:
         return int(time.time() - self._start)
+
+    def log(self, fmt: str, *args) -> None:
+        """Timestamped line into <outdir>/infer.log
+        (reference: Logger::xlog, src/log.cc:72-127)."""
+        msg = (fmt % args) if args else fmt
+        self._log.write(f"[{self.duration()}s] {msg}\n")
+        self._log.flush()
+
+    def _make_training_sample(self):
+        """Fixed random sample of training links + equal nonlinks for the
+        per-report training likelihood trace (training.txt)."""
+        net = self.network
+        m = min(max(len(net.training_links) // 100, 10),
+                5000, len(net.training_links))
+        if m == 0:
+            return None
+        idx = self.rng.choice(len(net.training_links), size=m, replace=False)
+        links = net.training_links[idx]
+        nonlinks = net._sample_nonlinks(self.rng, m)
+        pairs = np.concatenate([links, nonlinks.astype(np.int32)], axis=0)
+        ys = np.concatenate([np.ones(m, np.int32), np.zeros(m, np.int32)])
+        return jnp.asarray(pairs), jnp.asarray(ys)
 
     # ------------------------------------------------------------------
     def _state_dict(self):
@@ -138,6 +196,13 @@ class EngineBase:
                                  self.test_y, cfg.epsilon)
             self._tf.write(self.iteration, self.duration(), tres,
                            cfg.zeros_prob, cfg.ones_prob)
+        if self._train_sample is not None:
+            tp, ty = self._train_sample
+            trres = heldout_stats(self.gamma, self.lam, tp, ty, cfg.epsilon)
+            self._trf.write(self.iteration, self.duration(), trres,
+                            cfg.zeros_prob, cfg.ones_prob)
+        self.log("iteration %d: validation nshol %.5f",
+                 self.iteration, nshol)
 
         stop = self.stopper.update(self.iteration, nshol)
         self._last_stop_raw = stop
