@@ -98,3 +98,67 @@ def device_put_sharded_edges(mesh: Mesh, edges: np.ndarray, mask: np.ndarray,
 def device_put_replicated(mesh: Mesh, *arrays):
     spec = NamedSharding(mesh, P())
     return tuple(jax.device_put(a, spec) for a in arrays)
+
+
+def init_distributed(coordinator: str = "", num_processes: int = 0,
+                     process_id: int = 0) -> None:
+    """Multi-host bring-up: call once per host before building the mesh
+    (the reference has no distributed backend — its pthread reduce,
+    src/mmsbinfer.cc:1770-1827, is single-address-space; on TPU pods the
+    same reduce rides ICI/DCN via the psum in the sharded sweeps)."""
+    if num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def make_rowsharded_sweep(mesh: Mesh, num_blocks_per_shard: int,
+                          axis: str = "edges") -> Callable:
+    """Link-sampling sweep with gamma ROW-SHARDED across the mesh — the
+    large-n regime (n*K beyond one chip's HBM; BASELINE stretch config
+    n=1M, k=500). Per sweep:
+
+      1. each shard computes Elogpi on its gamma rows (local digamma);
+      2. all_gather replicates Elogpi for the edge pass (the only big
+         collective, n*K over ICI);
+      3. the local edge shard runs the phi pass; gacc is psum-reduced and
+         each shard keeps its row slice (reduce of sufficient stats =
+         the reference's thread reduce, src/mmsbinfer.cc:1770-1827);
+      4. the mean-indicator/nonlink correction is row-local; the s3
+         cross-moment needs mphi for arbitrary endpoints, so mphi is
+         all_gathered (n*K) and s3 psum-reduced.
+
+    gamma/deg are sharded on axis 0; edges/mask sharded; lam replicated.
+    Requires n % mesh_size == 0 (pad rows host-side).
+    """
+
+    def _local(gamma, lam, edges, mask, deg, consts, annealing):
+        from svinet_tpu.ops.expectations import dirichlet_expectation
+        nl = gamma.shape[0]  # local rows
+        elogpi_l = dirichlet_expectation(gamma)
+        elogpi = jax.lax.all_gather(elogpi_l, axis, tiled=True)
+        elogbeta = dirichlet_expectation(lam)
+        gacc_full, sumk = phi_pass(elogpi, elogbeta[:, 0], edges, mask,
+                                   num_blocks_per_shard)
+        sumk = jax.lax.psum(sumk, axis)
+        # reduce-scatter gacc: psum then slice this shard's rows
+        gacc_full = jax.lax.psum(gacc_full, axis)
+        idx = jax.lax.axis_index(axis)
+        gacc = jax.lax.dynamic_slice_in_dim(gacc_full, idx * nl, nl, 0)
+        gnext, mphi_l, s1_l, s2_l, lam0 = mean_indicator_update(
+            gacc, sumk, deg, consts, annealing)
+        s1 = jax.lax.psum(s1_l, axis)
+        s2 = jax.lax.psum(s2_l, axis)
+        mphi = jax.lax.all_gather(mphi_l, axis, tiled=True)
+        s3 = jax.lax.psum(s3_pass(mphi, edges, mask, num_blocks_per_shard),
+                          axis)
+        lam_new = finish_lambda(s1, s2, s3, lam0, consts)
+        return gnext, lam_new
+
+    sharded = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(axis), P(), P(axis), P(axis), P(axis),
+                  LSConsts(P(), P(), P(), P()), P()),
+        out_specs=(P(axis), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0, 1))

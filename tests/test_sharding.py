@@ -103,3 +103,43 @@ def test_sharded_sweep_iterates():
     agreement = np.mean([np.mean(row == np.bincount(row).argmax())
                          for row in args])
     assert agreement > 0.8
+
+
+def test_rowsharded_sweep_matches_single_chip():
+    """gamma row-sharded across 8 devices (large-n mode) must agree with
+    the single-chip sweep."""
+    from svinet_tpu.parallel.mesh import make_rowsharded_sweep
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n, k = 64, 4   # n divisible by 8
+    edges = _toy_graph(60, k)  # node ids < 60 < 64
+    deg = np.zeros(n, np.int32)
+    np.add.at(deg, edges[:, 0], 1)
+    np.add.at(deg, edges[:, 1], 1)
+    rng = np.random.default_rng(3)
+    gamma0 = init_gamma_from_links(rng, edges, n, k, 0.25)
+    lam0 = np.tile([1.0, 1.0], (k, 1))
+    consts = LSConsts(alpha=jnp.float32(0.25),
+                      eta=jnp.asarray([1.0, 1.0], jnp.float32),
+                      ones=jnp.float32(len(edges)),
+                      n_nodes=jnp.float32(n))
+
+    e1, m1 = pad_edges(edges, 64)
+    g1, l1 = linksampling_sweep(
+        jnp.asarray(gamma0, jnp.float32), jnp.asarray(lam0, jnp.float32),
+        jnp.asarray(e1), jnp.asarray(m1), jnp.asarray(deg, jnp.float32),
+        consts, jnp.float32(1.0), e1.shape[0] // 64)
+
+    mesh = make_mesh(8)
+    es, ms = shard_edges(edges, 8, 64)
+    sweep = make_rowsharded_sweep(mesh, es.shape[0] // 8 // 64)
+    es_d, ms_d = device_put_sharded_edges(mesh, es, ms)
+    row_spec = NamedSharding(mesh, P("edges"))
+    g_d = jax.device_put(jnp.asarray(gamma0, jnp.float32), row_spec)
+    d_d = jax.device_put(jnp.asarray(deg, jnp.float32), row_spec)
+    g8, l8 = sweep(g_d, jnp.asarray(lam0, jnp.float32), es_d, ms_d, d_d,
+                   consts, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(l8), np.asarray(l1),
+                               rtol=2e-4, atol=2e-3)
