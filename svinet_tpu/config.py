@@ -79,6 +79,8 @@ class Config:
     nonuniform: bool = False
     strid: bool = False
     disjoint: bool = False
+    deterministic: bool = False     # reproducible init + heldout walk
+                                    # (reference: src/env.hh:446)
 
     # --- sampling sizes ---------------------------------------------------
     s: int = 0                      # minibatch size (n/2 default, set at resolve)

@@ -237,6 +237,29 @@ class Network:
         cfg = self.cfg
         s1 = int(cfg.heldout_ratio * self.ones)
         half = max(s1 // 2, 1)
+        if cfg.deterministic:
+            # deterministic pair walk (reference: Env::deterministic +
+            # MMSBInfer::get_edge, src/mmsbinfer.hh:669-687): first links
+            # in canonical order + first nonlinks of a sequential scan
+            links = self.edges[:half]
+            nonlinks = []
+            p, q = 0, 1
+            while len(nonlinks) < half:
+                if not self.y(np.array([p]), np.array([q]))[0]:
+                    nonlinks.append((p, q))
+                q += 1
+                if q >= self.n:
+                    p += 1
+                    q = p + 1
+                    if p >= self.n - 1:
+                        break
+            nl = np.asarray(nonlinks, np.int64).reshape(-1, 2)
+            self.validation_pairs = np.concatenate(
+                [links, nl], axis=0).astype(np.int32)
+            self.validation_y = np.concatenate(
+                [np.ones(len(links), np.int8), np.zeros(len(nl), np.int8)])
+            self.assign_training_links()
+            return
         self.validation_pairs, self.validation_y = self._sample_split(rng, half, half)
         if cfg.create_test_precision_sets:
             zeros = int((self.total_pairs - self.ones) * cfg.heldout_ratio)

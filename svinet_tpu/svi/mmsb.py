@@ -116,10 +116,18 @@ def batch_step(gamma, lam, pairs, y, w, alpha, eta, do_lambda, log_eps,
     return gamma, lam
 
 
-def init_gamma_random(rng: np.random.Generator, n: int, k: int) -> np.ndarray:
+def init_gamma_random(rng: np.random.Generator, n: int, k: int,
+                      deterministic: bool = False) -> np.ndarray:
     """gamma_ij ~ Gamma(shape=100, scale=0.01): mean 1 with ~10% noise — a
     near-symmetric start whose small fluctuations break community symmetry
-    (reference: MMSBInfer::init_gamma, src/mmsbinfer.cc:373-386)."""
+    (reference: MMSBInfer::init_gamma, src/mmsbinfer.cc:373-386).
+    Deterministic mode uses the reference's closed-form seed grid
+    (src/mmsbinfer.cc:376-383)."""
+    if deterministic:
+        i = np.arange(n)[:, None].astype(np.float64)
+        j = np.arange(k)[None, :].astype(np.float64)
+        g = 0.09 + 0.01 * ((i + 1.0) / (i + j + 1.0))
+        return np.minimum(g, 0.9)
     return rng.gamma(100.0, 1.0 / 100.0, size=(n, k))
 
 
@@ -131,7 +139,7 @@ class MMSBInfer(EngineBase):
         super().__init__(cfg, network, rng)
         n, k = self.n, self.k
 
-        g0 = init_gamma_random(self.rng, n, k)
+        g0 = init_gamma_random(self.rng, n, k, cfg.deterministic)
         l0 = np.tile([cfg.eta0, cfg.eta1], (k, 1))
         self.gamma = jnp.asarray(g0, jnp.float32)
         self.lam = jnp.asarray(l0, jnp.float32)

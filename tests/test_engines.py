@@ -100,3 +100,17 @@ def test_findk_estimates_4_on_assort(tmp_path, assort_path):
     eng.batch_infer()
     k_est = len(eng._communities)
     assert 3 <= k_est <= 6
+
+
+def test_deterministic_mode_reproducible(tmp_path, assort_path):
+    """Two deterministic runs must produce identical gamma."""
+    import numpy as np
+    results = []
+    for run in range(2):
+        eng, cfg, net = _make_engine(tmp_path / f"d{run}", assort_path,
+                                     batch=True, max_iterations=3,
+                                     use_validation_stop=False,
+                                     reportfreq=3, deterministic=True)
+        eng.batch_infer()
+        results.append(np.asarray(eng.gamma))
+    np.testing.assert_array_equal(results[0], results[1])
