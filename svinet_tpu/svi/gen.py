@@ -138,13 +138,31 @@ class MMSBGen:
 
     # ------------------------------------------------------------------
     def gen(self) -> None:
+        """-gen: a-MMSB generator; with -orig the full-blockmodel variant
+        (K x K beta, diag ~ Beta(eta_gen), off-diag = eps; reference:
+        MMSBOrig::gen, src/mmsborig.cc:25-116, alpha = 1/K there,
+        src/main.cc:271)."""
         cfg = self.cfg
         cfg.make_outdir()
         rng = np.random.default_rng(cfg.seed)
-        alpha = 0.05  # reference: src/main.cc:277 hardcodes gen alpha
-        pi = rng.dirichlet(np.full(self.k, alpha), size=self.n)
-        beta = rng.beta(cfg.eta0_gen, cfg.eta1_gen, size=self.k)
-        edges = draw_network(self.key, pi, beta, cfg.epsilon)
+        if cfg.orig:
+            alpha = 1.0 / self.k
+            pi = rng.dirichlet(np.full(self.k, alpha), size=self.n)
+            beta = rng.beta(cfg.eta0_gen, cfg.eta1_gen, size=self.k)
+            # full-blockmodel draw: z_p != z_q pairs link with prob eps.
+            # Assortative diag means the a-MMSB sampler with per-k rates
+            # beta_k and cross-rate eps generates exactly this model.
+            edges = draw_network(self.key, pi, beta, cfg.epsilon)
+            with open(cfg.file_str("beta-gen-matrix.txt"), "w") as f:
+                for g in range(self.k):
+                    row = [cfg.epsilon] * self.k
+                    row[g] = beta[g]
+                    f.write("\t".join(f"{v:.5g}" for v in row) + "\n")
+        else:
+            alpha = 0.05  # reference: src/main.cc:277 hardcodes gen alpha
+            pi = rng.dirichlet(np.full(self.k, alpha), size=self.n)
+            beta = rng.beta(cfg.eta0_gen, cfg.eta1_gen, size=self.k)
+            edges = draw_network(self.key, pi, beta, cfg.epsilon)
         with open(cfg.file_str("network_gen.dat"), "w") as f:
             for p, q in edges:
                 f.write(f"{p}\t{q}\n")

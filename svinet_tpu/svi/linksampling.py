@@ -136,11 +136,52 @@ class LinkSampling(EngineBase):
         validation plateau ends annealing instead of the run
         (reference: src/linksampling.cc:1036-1043)."""
         stop = super().report()
+        self._log_convergence()
         if self.annealing and self._last_stop_raw:
             self.annealing = False
             self.stopper.reset_after_annealing()
             return False
         return stop
+
+    def _log_convergence(self) -> None:
+        """Per-node convergence stats: a node is converged when exactly one
+        community holds gamma - alpha >= 1 (reference:
+        LinkSampling::check_and_set_converged, src/linksampling.cc:456-475;
+        logged to convergence.txt/cmap.txt). The reference uses this to
+        freeze nodes; here it is reporting only — the dense sweep is
+        faster on TPU than the branchy fast path."""
+        if not hasattr(self, "_convf"):
+            self._convf = open(self.cfg.file_str("convergence.txt"), "w")
+        active = np.asarray(
+            (self.gamma - self.consts.alpha >= 1.0).sum(axis=1))
+        conv = int((active == 1).sum())
+        self._convf.write(f"{self.iteration}\t{self.duration()}\t{conv}\t"
+                          f"{conv / max(self.n, 1):.5f}\n")
+        self._convf.flush()
+
+    def write_auc(self) -> None:
+        """auc.txt: 'y score' rows over the heldout pairs + native AUC in
+        auc-all.txt (the reference pipes auc.txt into an external `roc`
+        binary; reference: LinkSampling::auc, src/linksampling.cc:854-879)."""
+        from svinet_tpu.evals.likelihood import link_probs
+        from svinet_tpu.evals.precision import auc as auc_fn
+        pairs = (self.network.precision_pairs
+                 if len(self.network.precision_pairs)
+                 else self.network.validation_pairs)
+        ys = (self.network.precision_y
+              if len(self.network.precision_pairs)
+              else self.network.validation_y)
+        scores = np.asarray(link_probs(self.gamma, self.lam,
+                                       jnp.asarray(pairs)))
+        with open(self.cfg.file_str("auc.txt"), "w") as f:
+            for y, s in zip(ys, scores):
+                f.write(f"{int(y)} {s:.3f}\n")
+        with open(self.cfg.file_str("auc-all.txt"), "a") as f:
+            f.write(f"{auc_fn(scores, np.asarray(ys)):.5f}\n")
+
+    def do_on_stop(self) -> None:
+        super().do_on_stop()
+        self.write_auc()
 
     # ------------------------------------------------------------------
     def infer(self, max_seconds: Optional[float] = None) -> None:
