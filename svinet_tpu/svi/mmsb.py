@@ -80,17 +80,25 @@ def pair_block_stats(elogpi, elogbeta, pairs, y, w, num_blocks: int,
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("num_blocks", "max_iters"))
+                   static_argnames=("num_blocks", "max_iters", "infthresh"))
 def svi_step(gamma, lam, pairs, y, w, alpha, eta, gscale, lscale,
              noderhot, rhot, do_lambda, log_eps, num_blocks: int,
-             max_iters: int, thresh: float = 1e-5):
+             max_iters: int, thresh: float = 1e-5,
+             infthresh: float = 0.0):
     """One natural-gradient SVI step (reference: src/mmsbinfer.cc:563-641).
 
     gscale/lscale fold in scale/mbsize; noderhot/rhot are the Robbins-Monro
     rates (host computes them from the step index — replica-consistent by
-    construction, no communication needed)."""
+    construction, no communication needed). infthresh > 0 masks out
+    uninformative zero-pairs: nonlinks whose max_k pi_p pi_q falls below
+    the threshold skip the local step entirely (reference:
+    MMSBInfer::opt_process, src/mmsbinfer.cc:1192-1298)."""
     elogpi = dirichlet_expectation(gamma)
     elogbeta = dirichlet_expectation(lam)
+    if infthresh > 0.0:
+        pi = gamma / gamma.sum(axis=1, keepdims=True)
+        inf = (pi[pairs[:, 0]] * pi[pairs[:, 1]]).max(-1) >= infthresh
+        w = jnp.where((y == 1) | inf, w, 0.0)
     gacc, lacc = pair_block_stats(elogpi, elogbeta, pairs, y, w, num_blocks,
                                   log_eps, max_iters, thresh)
     gammat = alpha + gscale * gacc
@@ -278,7 +286,8 @@ class MMSBInfer(EngineBase):
             jnp.float32(noderhot), jnp.float32(rhot),
             jnp.float32(do_lambda), jnp.float32(self.log_eps),
             num_blocks=pad_to // self._block,
-            max_iters=cfg.online_iterations, thresh=cfg.meanchangethresh)
+            max_iters=cfg.online_iterations, thresh=cfg.meanchangethresh,
+            infthresh=float(cfg.infthresh))
 
         if cfg.stratified:
             self._family = 0 if self._family else 1
