@@ -130,6 +130,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.checkpoint_freq = float(nxt())
         elif a == "-resume":
             cfg.resume = True
+        elif a == "-profile":
+            cfg.profile_dir = nxt()
         elif a == "-label":
             cfg.label = nxt()
         elif a == "-load":

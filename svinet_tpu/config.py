@@ -116,6 +116,7 @@ class Config:
     dtype: str = "float32"
     checkpoint_freq: float = 0.0    # secs between native checkpoints (0=off)
     resume: bool = False            # resume from <outdir>/ckpt if present
+    profile_dir: str = ""           # jax.profiler trace dir ("" = off)
 
     # runtime-resolved (not user-set)
     total_pairs: int = field(default=0, repr=False)

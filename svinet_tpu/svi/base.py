@@ -245,3 +245,13 @@ class EngineBase:
                    np.asarray(self.lam), self.network.seq2id)
         write_groups(self.cfg.file_str("groups.txt"),
                      np.asarray(self.gamma), self.network.seq2id)
+        # communities_size.txt + summary.txt (argmax-group census)
+        with open(self.cfg.file_str("communities_size.txt"), "w") as f:
+            for c in sorted(self._communities):
+                f.write(f"{c}\t{len(self._communities[c])}\n")
+        gamma = np.asarray(self.gamma)
+        counts = np.bincount(gamma.argmax(1), minlength=self.k)
+        with open(self.cfg.file_str("summary.txt"), "a") as f:
+            f.write("\t".join(str(int(c)) for c in counts) + "\n")
+        self.log("stopped at iteration %d (%d s)", self.iteration,
+                 self.duration())

@@ -186,6 +186,20 @@ class LinkSampling(EngineBase):
     # ------------------------------------------------------------------
     def infer(self, max_seconds: Optional[float] = None) -> None:
         cfg = self.cfg
+        if cfg.profile_dir:
+            # device trace of the training loop (TPU equivalent of the
+            # reference's #ifdef PERF wall-clock probes, SURVEY §5)
+            import jax.profiler
+            jax.profiler.start_trace(cfg.profile_dir)
+            try:
+                self._infer_loop(max_seconds)
+            finally:
+                jax.profiler.stop_trace()
+            return
+        self._infer_loop(max_seconds)
+
+    def _infer_loop(self, max_seconds: Optional[float] = None) -> None:
+        cfg = self.cfg
         self.report()  # iteration-0 report (reference ctor does one)
         while True:
             if cfg.max_iterations and self.iteration >= cfg.max_iterations:
