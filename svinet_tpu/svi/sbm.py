@@ -100,6 +100,63 @@ def sbm_batch_step(phi, gamma, lam, edges, mask, alpha, eta,
     return phi, gamma_new, lam_new
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def sbm_stoch_step(phi, gamma, lam, r, dst, y, w, noderho, alpha, eta,
+                   phi_scale, gamma_scale, lambda_scale, rhot):
+    """One stochastic SBM iteration around start node r
+    (reference: SBM::opt_process + update_phit/update_phi/
+    update_gammat_lambdat/update_gamma_lambda, src/sbm.cc:388-699)."""
+    n, k = phi.shape
+    elogpi = dirichlet_expectation(gamma)
+    elogbeta = dirichlet_expectation(lam)
+    a_k = elogbeta[:k, 0]
+    b_k = elogbeta[:k, 1]
+    a_x = elogbeta[k, 0]
+    b_x = elogbeta[k, 1]
+    yf = (y == 1)[:, None]
+    wc = w[:, None]
+
+    def pair_term(phi_partner):
+        """(B,K): (1-phi_b)ELF_cross + phi_b ELF_k for each pair."""
+        elf_k = jnp.where(yf, a_k, b_k)
+        elf_x = jnp.where(yf, a_x, b_x)
+        return (1.0 - phi_partner) * elf_x + phi_partner * elf_k
+
+    # phit for the start node: sum over its pairs
+    t_r = (pair_term(phi[dst]) * wc).sum(0)
+    phit_r = jax.nn.softmax(elogpi + phi_scale * t_r)
+    # phit for each partner: just its single pair with r (old phi_r)
+    t_d = pair_term(phi[r][None, :])
+    phit_d = jax.nn.softmax(elogpi[None, :] + phi_scale * t_d, axis=-1)
+
+    # blend with per-node Robbins-Monro rates, renormalize
+    phit_full = jnp.zeros_like(phi).at[dst].set(jnp.where(wc > 0, phit_d,
+                                                          0.0))
+    phit_full = phit_full.at[r].set(phit_r)
+    blended = (1.0 - noderho) * phi + noderho * phit_full
+    blended = blended / jnp.maximum(blended.sum(1, keepdims=True), 1e-30)
+    phi = jnp.where(noderho > 0, blended, phi)
+
+    # sufficient statistics from the NEW phi
+    pp = phi[r][None, :] * phi[dst] * wc               # (B,K)
+    gsum = ((phi[r][None, :] + phi[dst]) * wc).sum(0)
+    sum_a = jnp.where(yf, pp, 0.0).sum(0)
+    sum_b = jnp.where(yf, 0.0, pp).sum(0)
+    n1 = (w * (y == 1)).sum()
+    n0 = (w * (y == 0)).sum()
+    s1 = jnp.where(yf, pp, 0.0).sum()
+    s0 = jnp.where(yf, 0.0, pp).sum()
+
+    gammat = alpha + gamma_scale * gsum
+    lamt_k = eta[:k] + lambda_scale * jnp.stack([sum_a, sum_b], 1)
+    lamt_x = eta[k] + lambda_scale * jnp.stack([n1 / k - s1, n0 / k - s0])
+    lambdat = jnp.concatenate([lamt_k, lamt_x[None, :]], axis=0)
+
+    gamma = (1.0 - rhot) * gamma + rhot * gammat
+    lam = (1.0 - rhot) * lam + rhot * lambdat
+    return phi, gamma, lam
+
+
 @jax.jit
 def sbm_edge_loglik(phi, lam, pairs, y):
     """Reference: SBM::edge_likelihood2, src/sbm.hh:285-308."""
@@ -179,11 +236,98 @@ class SBM(EngineBase):
                     self.do_on_stop()
                     return
 
+    # ------------------------------------------------------------------
     def infer(self) -> None:
-        """Stochastic (infset) variant falls back to batch coordinate
-        ascent until the informative-set sampler lands (reference runs
-        SBM::infer only after -preprocess; src/sbm.cc:545-588)."""
-        self.batch_infer()
+        """Stochastic (infset-style) SVI (reference: SBM::infer,
+        src/sbm.cc:545-588): each iteration a Bernoulli(0.001) coin picks
+        an informative step (start node's links + preprocessed zeros,
+        phi_scale n/2, gamma_scale 1/2, lambda_scale n/2) or a
+        non-informative step (k random nonlink partners, scales
+        n^2/(2 eps k), n/(2 eps k); src/sbm.cc:763-843). Touched nodes
+        blend phi toward the scaled one-shot estimate with per-node
+        Robbins-Monro rates; gamma/lambda take a global rho_t step."""
+        cfg = self.cfg
+        net = self.network
+        if net.sparse_zeros_ptr is None:
+            import os
+            nb = cfg.file_str("neighbors.bin")
+            if os.path.exists(nb):
+                net.load_neighborhood_sets(nb)
+            elif os.path.exists("neighbors.bin"):
+                net.load_neighborhood_sets("neighbors.bin")
+            else:
+                net.set_neighborhood_sets(cfg)
+        self._nodec = np.zeros(self.n, np.int64)
+        from svinet_tpu.graph import _pair_key
+        held = self.network.heldout_keys()
+        self._held_keys = held if len(held) else np.array([-1], np.int64)
+        inf_eps = 0.001   # reference: src/sbm.cc:9
+        max_deg = int(net.training_deg.max()) if self.n else 1
+        pad = 1 << int(np.ceil(np.log2(max(max_deg + 101, self.k, 64))))
+        while True:
+            if cfg.max_iterations and self.iteration > cfg.max_iterations:
+                self.do_on_stop()
+                return
+            r = int(self.rng.integers(0, self.n))
+            if self.rng.uniform() >= inf_eps:
+                others = np.concatenate([
+                    net.neighbors(r), net.sparse_zeros(r)]).astype(np.int64)
+                phi_scale = self.n / 2.0
+                gamma_scale = 0.5
+                lambda_scale = self.n / 2.0
+            else:
+                inf_set = set(int(x) for x in net.sparse_zeros(r))
+                picked = []
+                tries = 0
+                while len(picked) < self.k and tries < 50 * self.k:
+                    q = int(self.rng.integers(0, self.n))
+                    tries += 1
+                    if q == r or q in inf_set:
+                        continue
+                    if not net.y(np.array([r]), np.array([q]))[0]:
+                        picked.append(q)
+                others = np.asarray(picked, np.int64)
+                phi_scale = (self.n * self.n) / (2 * inf_eps * self.k)
+                gamma_scale = self.n / (2 * inf_eps * self.k)
+                lambda_scale = phi_scale
+            lo = np.minimum(r, others)
+            hi = np.maximum(r, others)
+            keys = _pair_key(lo, hi, self.n)
+            idx = np.clip(np.searchsorted(self._held_keys, keys), 0,
+                          len(self._held_keys) - 1)
+            ok = (self._held_keys[idx] != keys) & (others != r)
+            others = others[ok]
+            ys = net.y(np.full(len(others), r), others).astype(np.int32)
+
+            dst = np.zeros(pad, np.int32)
+            yy = np.zeros(pad, np.int32)
+            ww = np.zeros(pad, np.float32)
+            m = min(len(others), pad)
+            dst[:m] = others[:m]
+            yy[:m] = ys[:m]
+            ww[:m] = 1.0
+            if m == 0:
+                self.iteration += 1
+                continue
+
+            noderho = np.zeros((self.n, 1), np.float32)
+            for a in [r] + [int(x) for x in others]:
+                noderho[a, 0] = (cfg.nodetau0 + self._nodec[a]) ** (
+                    -cfg.nodekappa)
+                self._nodec[a] += 1
+            rhot = (cfg.tau0 + (self.iteration + 1)) ** (-cfg.kappa)
+
+            self.phi, self.gamma_k, self.lam = sbm_stoch_step(
+                self.phi, self.gamma_k, self.lam, jnp.int32(r),
+                jnp.asarray(dst), jnp.asarray(yy), jnp.asarray(ww),
+                jnp.asarray(noderho), jnp.float32(self.sbm_alpha),
+                self.eta, jnp.float32(phi_scale), jnp.float32(gamma_scale),
+                jnp.float32(lambda_scale), jnp.float32(rhot))
+            self.iteration += 1
+            if self.iteration % cfg.reportfreq == 0:
+                if self.report():
+                    self.do_on_stop()
+                    return
 
     def do_on_stop(self) -> None:
         cfg = self.cfg
