@@ -22,6 +22,52 @@ DATA = "/root/reference/example/ca-AstroPh.csv"
 BASELINE_EDGES_PER_SEC = 99 * 193031 / 77.0  # ~248k phi-updates(edges)/s
 
 
+def synth_main(n: int, k: int, n_edges: int) -> None:
+    """Stretch benchmark: synthetic MMSB-scale sweep (BASELINE.json's
+    n=1M/k=500 config). Random planted edges; measures raw sweep
+    throughput at a size no single 2013 CPU core could touch."""
+    from svinet_tpu.ops.edges import pad_edges
+    from svinet_tpu.svi.linksampling import linksampling_sweep
+    from svinet_tpu.svi.sweep_math import LSConsts
+
+    rng = np.random.default_rng(0)
+    p = rng.integers(0, n - 1, size=n_edges).astype(np.int32)
+    q = rng.integers(1, n, size=n_edges).astype(np.int32)
+    q = np.where(q <= p, p + 1, q).astype(np.int32)
+    edges = np.stack([p, q], 1)
+    deg = np.zeros(n, np.float32)
+    np.add.at(deg, edges[:, 0], 1)
+    np.add.at(deg, edges[:, 1], 1)
+    block = 1 << 15
+    edges_p, mask = pad_edges(edges, block)
+    nb = edges_p.shape[0] // block
+    gamma = jnp.asarray(rng.gamma(1.0, 1.0, (n, k)), jnp.float32)
+    lam = jnp.asarray(np.tile([1.0, 1.0], (k, 1)), jnp.float32)
+    consts = LSConsts(alpha=jnp.float32(1.0 / k),
+                      eta=jnp.asarray([1.0, 1.0], jnp.float32),
+                      ones=jnp.float32(n_edges), n_nodes=jnp.float32(n))
+    e_d, m_d, d_d = (jnp.asarray(edges_p), jnp.asarray(mask),
+                     jnp.asarray(deg))
+    ann = jnp.float32(1.0)
+    gamma, lam = linksampling_sweep(gamma, lam, e_d, m_d, d_d, consts,
+                                    ann, nb)
+    jax.block_until_ready((gamma, lam))
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        gamma, lam = linksampling_sweep(gamma, lam, e_d, m_d, d_d, consts,
+                                        ann, nb)
+    jax.block_until_ready((gamma, lam))
+    dt = time.perf_counter() - t0
+    eps = iters * n_edges / dt
+    print(json.dumps({
+        "metric": f"linksampling_edges_per_sec_synth_n{n}_k{k}",
+        "value": round(eps, 1),
+        "unit": "edges/sec",
+        "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 3),
+    }))
+
+
 def main() -> None:
     from svinet_tpu.config import Config
     from svinet_tpu.graph import Network
@@ -77,4 +123,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "--synth":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+        k = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+        e = int(sys.argv[4]) if len(sys.argv) > 4 else 20_000_000
+        synth_main(n, k, e)
+    else:
+        main()

@@ -1,0 +1,62 @@
+"""Golden statistical-parity tests against the reference's bundled runs.
+
+The reference ships actual output directories for its example datasets
+(reference: example/*.tgz; SURVEY §6). These tests rerun the headline
+configs and assert the statistical results land within Monte-Carlo error
+of the recorded values:
+
+  LFR n=1000 k=28 link-sampling: NMI 0.897/0.904, nshol -0.111 @ 43 iters
+"""
+
+import numpy as np
+import pytest
+
+from svinet_tpu.cli import parse_args
+from svinet_tpu.graph import Network
+
+
+@pytest.mark.parametrize("seed", [1])
+def test_lfr_linksampling_nmi_parity(tmp_path, lfr_paths, seed, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = parse_args([
+        "-file", lfr_paths["network"], "-n", "1000", "-k", "28",
+        "-link-sampling", "-nmi", lfr_paths["ground_truth"],
+        "-seed", str(seed), "-label", "parity",
+        "-max-iterations", "120",
+    ])
+    net = Network(cfg)
+    net.read(cfg.datfname)
+    from svinet_tpu.svi.linksampling import LinkSampling
+    eng = LinkSampling(cfg, net)
+    eng.infer()
+
+    # NMI parity: reference mutual.txt records 0.897 final / 0.904 best
+    nmis = [float(line.split()[-1])
+            for line in open(cfg.file_str("mutual.txt"))]
+    assert max(nmis) >= 0.85, f"NMI too low: {max(nmis)}"
+
+    # heldout nshol parity: reference max.txt records -0.1110
+    last = open(cfg.file_str("validation.txt")).readlines()[-1].split()
+    nshol = float(last[-1])
+    assert -0.15 < nshol < -0.08, f"nshol out of range: {nshol}"
+
+
+def test_assort_batch_likelihood_parity(tmp_path, assort_path, monkeypatch):
+    """assort-75-4 batch run: reference converges to validation avg
+    ~-0.349 (42 links, 42 nonlinks split at heldout_ratio 0.1)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = parse_args([
+        "-file", assort_path, "-n", "75", "-k", "4", "-batch",
+        "-heldout-ratio", "0.1", "-eta-type", "fromdata",
+        "-seed", "3", "-label", "parity", "-max-iterations", "100",
+        "-no-stop",
+    ])
+    cfg.alpha = 0.025   # the bundled run's param.txt value
+    net = Network(cfg)
+    net.read(cfg.datfname)
+    from svinet_tpu.svi.mmsb import MMSBInfer
+    eng = MMSBInfer(cfg, net)
+    eng.batch_infer()
+    last = open(cfg.file_str("validation.txt")).readlines()[-1].split()
+    avg = float(last[2])
+    assert avg > -0.50, f"validation avg logL too low: {avg}"
