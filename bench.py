@@ -38,7 +38,8 @@ def synth_main(n: int, k: int, n_edges: int) -> None:
     deg = np.zeros(n, np.float32)
     np.add.at(deg, edges[:, 0], 1)
     np.add.at(deg, edges[:, 1], 1)
-    block = 1 << 15
+    from svinet_tpu.ops.edges import choose_edge_block
+    block = choose_edge_block(n_edges, k)
     edges_p, mask = pad_edges(edges, block)
     nb = edges_p.shape[0] // block
     gamma = jnp.asarray(rng.gamma(1.0, 1.0, (n, k)), jnp.float32)
@@ -84,9 +85,11 @@ def main() -> None:
     rng = np.random.default_rng(0)
     net.sample_heldout_sets(rng)
 
+    from svinet_tpu.ops.edges import choose_edge_block
     n, k = net.n, cfg.k
-    edges_p, mask = pad_edges(net.training_links, cfg.edge_block)
-    num_blocks = edges_p.shape[0] // cfg.edge_block
+    block = choose_edge_block(len(net.training_links), cfg.k)
+    edges_p, mask = pad_edges(net.training_links, block)
+    num_blocks = edges_p.shape[0] // block
     edges_d = jnp.asarray(edges_p)
     mask_d = jnp.asarray(mask)
     deg_d = jnp.asarray(net.training_deg.astype(np.float32))

@@ -1,0 +1,101 @@
+"""Pallas TPU kernel for the digamma primitive.
+
+The reference's single hottest scalar function is GSL's psi() — called
+n*K times per iteration in set_dir_exp (reference: src/linksampling.hh:
+170-201, src/mmsbinfer.hh:550-581). Here it is a branch-free VPU kernel:
+
+  psi(x) = psi(x + 8) - sum_{i=0..7} 1/(x+i)          (recurrence lift)
+  psi(y) ~ ln y - 1/2y - 1/12y^2 + 1/120y^4 - 1/252y^6  (asymptotic, y>=8)
+
+Eight unconditional lifts keep the whole tile on one code path — no
+data-dependent branching, which is exactly what the 8x128 VPU wants.
+Accuracy ~1e-6 relative in float32 for x > 1e-3, which covers every
+gamma/lambda value the model produces (alpha floors them away from 0).
+
+The kernel tiles a flattened, 128-padded view of the input; the public
+dirichlet_expectation_pallas wraps it into E[log p] = psi(x) - psi(rowsum).
+Falls back to jax.scipy on non-TPU backends (interpret mode in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_SUBLANES = 8
+_TILE_ROWS = 256      # rows of 128 lanes per grid step (128 KB f32)
+
+
+def _digamma_expr(x):
+    """Branch-free float32 digamma, valid for x > 0."""
+    acc = jnp.zeros_like(x)
+    y = x
+    for _ in range(8):
+        acc = acc + 1.0 / y
+        y = y + 1.0
+    # asymptotic series at y >= 8
+    inv = 1.0 / y
+    inv2 = inv * inv
+    series = (jnp.log(y) - 0.5 * inv
+              - inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0)))
+    return series - acc
+
+
+def _digamma_kernel(x_ref, o_ref):
+    o_ref[:] = _digamma_expr(x_ref[:])
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@jax.jit
+def pallas_digamma(x: jax.Array) -> jax.Array:
+    """Elementwise digamma via the Pallas kernel (any shape, f32).
+    Interpreted on non-TPU backends so tests run on the CPU mesh."""
+    shape = x.shape
+    flat = x.reshape(-1).astype(jnp.float32)
+    n = flat.shape[0]
+    per_tile = _TILE_ROWS * _LANES
+    padded = max(per_tile, ((n + per_tile - 1) // per_tile) * per_tile)
+    # pad with 1.0 so the padding lanes stay finite
+    flat = jnp.concatenate(
+        [flat, jnp.ones(padded - n, jnp.float32)]).reshape(-1, _LANES)
+    grid = flat.shape[0] // _TILE_ROWS
+    out = pl.pallas_call(
+        _digamma_kernel,
+        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.float32),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_TILE_ROWS, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=not _on_tpu(),
+    )(flat)
+    return out.reshape(-1)[:n].reshape(shape)
+
+
+@jax.jit
+def dirichlet_expectation_pallas(x: jax.Array) -> jax.Array:
+    """E[log p] = psi(x) - psi(sum over last axis), Pallas digamma."""
+    s = x.sum(axis=-1, keepdims=True)
+    both = jnp.concatenate([x.reshape(-1), s.reshape(-1)])
+    d = pallas_digamma(both)
+    dx = d[: x.size].reshape(x.shape)
+    ds = d[x.size:].reshape(s.shape)
+    return dx - ds
+
+
+def digamma_reference(x: np.ndarray) -> np.ndarray:
+    """Host-side check value (scipy)."""
+    from scipy.special import digamma
+    return digamma(x)

@@ -88,8 +88,10 @@ class LinkSampling(EngineBase):
                  rng: Optional[np.random.Generator] = None):
         super().__init__(cfg, network, rng)
         n, k = self.n, self.k
-        edges_p, mask = pad_edges(network.training_links, cfg.edge_block)
-        self.num_blocks = edges_p.shape[0] // cfg.edge_block
+        from svinet_tpu.ops.edges import choose_edge_block
+        block = choose_edge_block(len(network.training_links), k)
+        edges_p, mask = pad_edges(network.training_links, block)
+        self.num_blocks = edges_p.shape[0] // block
         self.edges = jnp.asarray(edges_p)
         self.mask = jnp.asarray(mask)
         self.deg = jnp.asarray(network.training_deg.astype(np.float32))
