@@ -202,12 +202,21 @@ class LinkSampling(EngineBase):
 
     def _infer_loop(self, max_seconds: Optional[float] = None) -> None:
         cfg = self.cfg
+        # per-iteration wall-clock trace (reference: time.txt/stats.txt,
+        # SURVEY §5 — the duration column contract)
+        timef = open(cfg.file_str("time.txt"), "w")
+        last_t = time.time()
         self.report()  # iteration-0 report (reference ctor does one)
         while True:
             if cfg.max_iterations and self.iteration >= cfg.max_iterations:
                 self.do_on_stop()
                 return
             self.step()
+            now = time.time()
+            timef.write(f"{self.iteration}\t{now - last_t:.6f}\t"
+                        f"{self.duration()}\n")
+            timef.flush()
+            last_t = now
             if self.iteration % cfg.reportfreq == 0:
                 if self.report():
                     self.do_on_stop()
