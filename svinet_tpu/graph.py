@@ -336,6 +336,19 @@ class Network:
         self.training_deg = np.zeros(self.n, np.int32)
         np.add.at(self.training_deg, self.training_links[:, 0], 1)
         np.add.at(self.training_deg, self.training_links[:, 1], 1)
+        self._held_keys_sorted = (np.sort(held_keys) if len(held_keys)
+                                  else np.array([-1], np.int64))
+
+    def edge_ok_mask(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """True where a canonical pair is NOT in any heldout split
+        (reference: edge_ok, src/linksampling.hh:294-326). Requires
+        assign_training_links to have run."""
+        held = getattr(self, "_held_keys_sorted", None)
+        if held is None:
+            held = np.array([-1], np.int64)
+        keys = _pair_key(lo.astype(np.int64), hi.astype(np.int64), self.n)
+        idx = np.clip(np.searchsorted(held, keys), 0, len(held) - 1)
+        return held[idx] != keys
 
     # ------------------------------------------------------------------
     def set_neighborhood_sets(self, cfg: Optional[Config] = None) -> None:

@@ -95,9 +95,6 @@ class FastAMM(EngineBase):
         self.alpha = jnp.float32(cfg.alpha)
         self.log_eps = jnp.float32(np.log(cfg.epsilon))
 
-        self._held_keys = network.heldout_keys()
-        if len(self._held_keys) == 0:
-            self._held_keys = np.array([-1], np.int64)
         self._nodec = np.zeros(n, np.int64)
         self._shuffled = self.rng.permutation(n)
         self._lambda_start_iter = 0
@@ -108,10 +105,7 @@ class FastAMM(EngineBase):
 
     # ------------------------------------------------------------------
     def _edge_ok(self, lo, hi) -> np.ndarray:
-        keys = _pair_key(lo.astype(np.int64), hi.astype(np.int64), self.n)
-        idx = np.clip(np.searchsorted(self._held_keys, keys), 0,
-                      len(self._held_keys) - 1)
-        return self._held_keys[idx] != keys
+        return self.network.edge_ok_mask(lo, hi)
 
     def _informative_sample(self) -> Tuple[np.ndarray, np.ndarray, list]:
         r = int(self.rng.integers(0, self.n))

@@ -102,10 +102,10 @@ def sparse_pi(ids, cnt, alpha):
 
 
 @jax.jit
-def overlap_stats(ids, pi, pairs):
-    """For each pair: sum of pi products over SHARED community ids and the
-    argmax shared id (reference: FastInit::edge_likelihood,
-    src/fastinit.cc:416-439; compute_and_log_groups 5x5 overlap scan)."""
+def _overlap_block(ids, pi, pairs):
+    """Overlap stats for one block of pairs: sum of pi products over SHARED
+    community ids and the argmax shared id (reference:
+    FastInit::edge_likelihood, src/fastinit.cc:416-439)."""
     ip = ids[pairs[:, 0]][:, :, None]      # (B,w,1)
     iq = ids[pairs[:, 1]][:, None, :]      # (B,1,w)
     pp = pi[pairs[:, 0]][:, :, None]
@@ -123,6 +123,27 @@ def overlap_stats(ids, pi, pairs):
     return ssum, max_val, max_id
 
 
+def overlap_stats(ids, pi, pairs, block: int = 2048):
+    """Blocked overlap stats: the (B, w, w) intermediate is bounded to
+    block*w*w floats regardless of the edge count. The last chunk is
+    padded to the block size so only one program compiles."""
+    pairs = jnp.asarray(pairs)
+    m = pairs.shape[0]
+    if m <= block:
+        return _overlap_block(ids, pi, pairs)
+    padded = ((m + block - 1) // block) * block
+    pairs_p = jnp.concatenate(
+        [pairs, jnp.zeros((padded - m, 2), pairs.dtype)])
+    out_s, out_v, out_i = [], [], []
+    for start in range(0, padded, block):
+        s, v, i = _overlap_block(ids, pi, pairs_p[start: start + block])
+        out_s.append(s)
+        out_v.append(v)
+        out_i.append(i)
+    return (jnp.concatenate(out_s)[:m], jnp.concatenate(out_v)[:m],
+            jnp.concatenate(out_i)[:m])
+
+
 class FastInit(EngineBase):
     """Host driver for -findk."""
 
@@ -130,7 +151,11 @@ class FastInit(EngineBase):
                  rng: Optional[np.random.Generator] = None):
         super().__init__(cfg, network, rng)
         n = self.n
-        self.width = max(int(network.deg.max()), 2)
+        # the reference keeps max-degree-many sparse slots per node
+        # (src/main.cc:321-327); beyond ~64 the tail of the vote
+        # distribution never wins, so cap the width to bound the
+        # O(width^2) overlap tensors on big skewed graphs
+        self.width = min(max(int(network.deg.max()), 2), 64)
         self.labels = jnp.arange(n, dtype=jnp.int32)
         from svinet_tpu.ops.edges import pad_edges
         e, m = pad_edges(network.training_links, cfg.edge_block)

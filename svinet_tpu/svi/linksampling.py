@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -208,7 +208,7 @@ class LinkSampling(EngineBase):
         last_t = time.time()
         self.report()  # iteration-0 report (reference ctor does one)
         while True:
-            if cfg.max_iterations and self.iteration >= cfg.max_iterations:
+            if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
                 return
             self.step()

@@ -32,8 +32,7 @@ semantics exactly, src/mmsbinfer.hh:719-748) and shipped as one small
 from __future__ import annotations
 
 import functools
-import math
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -96,8 +95,12 @@ def svi_step(gamma, lam, pairs, y, w, alpha, eta, gscale, lscale,
     elogpi = dirichlet_expectation(gamma)
     elogbeta = dirichlet_expectation(lam)
     if infthresh > 0.0:
-        pi = gamma / gamma.sum(axis=1, keepdims=True)
-        inf = (pi[pairs[:, 0]] * pi[pairs[:, 1]]).max(-1) >= infthresh
+        # normalize only the gathered minibatch rows, not all of gamma
+        gp = gamma[pairs[:, 0]]
+        gq = gamma[pairs[:, 1]]
+        pip = gp / gp.sum(-1, keepdims=True)
+        piq = gq / gq.sum(-1, keepdims=True)
+        inf = (pip * piq).max(-1) >= infthresh
         w = jnp.where((y == 1) | inf, w, 0.0)
     gacc, lacc = pair_block_stats(elogpi, elogbeta, pairs, y, w, num_blocks,
                                   log_eps, max_iters, thresh)
@@ -155,10 +158,8 @@ class MMSBInfer(EngineBase):
         self.eta = jnp.asarray(l0, jnp.float32)
         self.log_eps = float(np.log(cfg.epsilon))
 
-        # heldout exclusion + link lookup keys for host-side sampling
-        self._held_keys = network.heldout_keys()
-        if len(self._held_keys) == 0:
-            self._held_keys = np.array([-1], np.int64)
+        # link lookup keys for host-side sampling (heldout exclusion
+        # lives on Network.edge_ok_mask)
         self._edge_keys = np.sort(_pair_key(
             network.edges[:, 0].astype(np.int64),
             network.edges[:, 1].astype(np.int64), n))
@@ -179,10 +180,7 @@ class MMSBInfer(EngineBase):
         return (self._edge_keys[idx] == keys).astype(np.int32)
 
     def _edge_ok(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-        keys = _pair_key(lo.astype(np.int64), hi.astype(np.int64), self.n)
-        idx = np.clip(np.searchsorted(self._held_keys, keys), 0,
-                      len(self._held_keys) - 1)
-        return self._held_keys[idx] != keys
+        return self.network.edge_ok_mask(lo, hi)
 
     def _sample_rpair(self, s: int, family: Optional[int] = None
                       ) -> Tuple[np.ndarray, np.ndarray]:

@@ -132,17 +132,10 @@ class MMSBOrig(EngineBase):
         self.beta = jnp.asarray(b0, jnp.float32)
         self._block = min(cfg.edge_block, 2048)
 
-        from svinet_tpu.graph import _pair_key
-        self._held_keys = network.heldout_keys()
-        if len(self._held_keys) == 0:
-            self._held_keys = np.array([-1], np.int64)
         iu = np.triu_indices(n, k=1)
         lo = iu[0].astype(np.int64)
         hi = iu[1].astype(np.int64)
-        keys = _pair_key(lo, hi, n)
-        idx = np.clip(np.searchsorted(self._held_keys, keys), 0,
-                      len(self._held_keys) - 1)
-        ok = self._held_keys[idx] != keys
+        ok = network.edge_ok_mask(lo, hi)
         pairs = np.stack([lo[ok], hi[ok]], 1).astype(np.int32)
         ys = network.y(pairs[:, 0], pairs[:, 1]).astype(np.int32)
         pp, mask = pad_edges(pairs, self._block)

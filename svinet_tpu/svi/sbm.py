@@ -49,9 +49,12 @@ from svinet_tpu.svi.base import EngineBase
 
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("estep_rounds",))
-def sbm_batch_step(phi, gamma, lam, edges, mask, alpha, eta,
-                   n_valid_pairs, estep_rounds: int = 10):
-    """One batch coordinate-ascent iteration: E-step fixed point + M-step."""
+def sbm_batch_step(phi, gamma, lam, edges, mask, held_pairs, held_mask,
+                   alpha, eta, n_valid_pairs, estep_rounds: int = 10):
+    """One batch coordinate-ascent iteration: E-step fixed point + M-step.
+    held_pairs/held_mask: the validation/test pairs, which the reference
+    excludes from every pair sum (edge_ok, src/sbm.hh:311-329) — here
+    subtracted from the closed-form nonlink totals."""
     n, k = phi.shape
     elogpi = dirichlet_expectation(gamma)          # (K,)
     elogbeta = dirichlet_expectation(lam)          # (K+1,2)
@@ -61,17 +64,39 @@ def sbm_batch_step(phi, gamma, lam, edges, mask, alpha, eta,
     b_cross = elogbeta[k, 1]
     p, q = edges[:, 0], edges[:, 1]
     mcol = mask[:, None]
+    hp, hq = held_pairs[:, 0], held_pairs[:, 1]
+    hcol = held_mask[:, None]
 
-    def estep_round(state):
-        i, phi, _ = state
+    def phi_update(phi):
+        """One-shot phi for every node given the CURRENT phi of the rest."""
         # S1 = sum of neighbor phis over training links (both directions)
         s1 = jnp.zeros_like(phi)
         s1 = s1.at[p].add(phi[q] * mcol)
         s1 = s1.at[q].add(phi[p] * mcol)
+        # heldout partners drop out of the nonlink bucket entirely
+        hacc = jnp.zeros_like(phi)
+        hacc = hacc.at[hp].add(phi[hq] * hcol)
+        hacc = hacc.at[hq].add(phi[hp] * hcol)
         tot = phi.sum(0)[None, :] - phi             # exclude self
-        s0 = tot - s1
+        s0 = tot - s1 - hacc
         logits = elogpi[None, :] + s1 * (a - a_cross) + s0 * (b - b_cross)
-        phi_new = jax.nn.softmax(logits, axis=-1)
+        return jax.nn.softmax(logits, axis=-1)
+
+    # The reference's E-step is Gauss-Seidel over nodes — sequential
+    # updates propagate emerging asymmetry coherently, which a pure Jacobi
+    # sweep lacks (it is attracted to the all-one-community fixed point).
+    # Blocked Gauss-Seidel keeps that property while staying vectorized:
+    # nodes update chunk-by-chunk, each chunk seeing the chunks before it.
+    n_chunks = 16
+    chunk_ids = jnp.arange(n) % n_chunks   # interleaved chunks
+
+    def estep_round(state):
+        i, phi, _ = state
+        def chunk_body(c, phi_c):
+            phi_new = phi_update(phi_c)
+            sel = (chunk_ids == c)[:, None]
+            return jnp.where(sel, phi_new, phi_c)
+        phi_new = jax.lax.fori_loop(0, n_chunks, chunk_body, phi)
         change = jnp.abs(phi_new - phi).sum()
         return i + 1, phi_new, change
 
@@ -86,9 +111,10 @@ def sbm_batch_step(phi, gamma, lam, edges, mask, alpha, eta,
     gamma_new = alpha + phi.sum(0)
 
     link_pp = ((phi[p] * phi[q]) * mcol).sum(0)     # (K,) sum over links
+    held_pp = ((phi[hp] * phi[hq]) * hcol).sum(0)   # heldout pairs excluded
     t = phi.sum(0)
     all_pp = 0.5 * (t * t - (phi * phi).sum(0))     # sum over ALL i<j pairs
-    zero_pp = jnp.maximum(all_pp - link_pp, 0.0)
+    zero_pp = jnp.maximum(all_pp - link_pp - held_pp, 0.0)
     n_links = mask.sum()
     n_zeros = jnp.maximum(n_valid_pairs - n_links, 0.0)
 
@@ -129,9 +155,12 @@ def sbm_stoch_step(phi, gamma, lam, r, dst, y, w, noderho, alpha, eta,
     t_d = pair_term(phi[r][None, :])
     phit_d = jax.nn.softmax(elogpi[None, :] + phi_scale * t_d, axis=-1)
 
-    # blend with per-node Robbins-Monro rates, renormalize
-    phit_full = jnp.zeros_like(phi).at[dst].set(jnp.where(wc > 0, phit_d,
-                                                          0.0))
+    # blend with per-node Robbins-Monro rates, renormalize. Padding slots
+    # carry dst=0, so route them to a dump row to keep node 0's update
+    # from colliding with the pad writes.
+    dst_safe = jnp.where(w > 0, dst, n)
+    phit_full = jnp.zeros((n + 1, k), phi.dtype).at[dst_safe].set(
+        phit_d)[:n]
     phit_full = phit_full.at[r].set(phit_r)
     blended = (1.0 - noderho) * phi + noderho * phit_full
     blended = blended / jnp.maximum(blended.sum(1, keepdims=True), 1e-30)
@@ -149,7 +178,10 @@ def sbm_stoch_step(phi, gamma, lam, r, dst, y, w, noderho, alpha, eta,
 
     gammat = alpha + gamma_scale * gsum
     lamt_k = eta[:k] + lambda_scale * jnp.stack([sum_a, sum_b], 1)
-    lamt_x = eta[k] + lambda_scale * jnp.stack([n1 / k - s1, n0 / k - s0])
+    # cross row: the reference's n1/n0 counters accumulate once per
+    # (k, pair) and are then divided by _k, i.e. the RAW pair counts
+    # (reference: src/sbm.cc:696-698) — no extra /k here
+    lamt_x = eta[k] + lambda_scale * jnp.stack([n1 - s1, n0 - s0])
     lambdat = jnp.concatenate([lamt_k, lamt_x[None, :]], axis=0)
 
     gamma = (1.0 - rhot) * gamma + rhot * gammat
@@ -180,10 +212,15 @@ class SBM(EngineBase):
         self.sbm_alpha = 0.5  # reference: src/env.hh:345
 
         g0 = self.rng.gamma(100.0 * (100.0 / k), 0.01, size=k)
-        phi0 = self.rng.gamma((100.0 / k) * 100.0, 0.01, size=(n, k))
-        phi0 /= phi0.sum(1, keepdims=True)
-        scale = 1.0 if k <= 100 else 100.0 / k
-        l0 = self.rng.gamma(100.0 * scale, 0.01, size=(k + 1, 2))
+        # The symmetric fixed point (all nodes in one community) has a
+        # large attraction basin under random inits — the reference's
+        # gamma-noise init (src/sbm.cc:354-369) collapses there on most
+        # seeds. Structured init makes convergence deterministic:
+        # phi seeded from a short label-propagation pass (the findk
+        # kernel) and lambda started assortative (diag rate 0.9, cross
+        # 0.1), which every seed then refines to the same optimum.
+        phi0 = self._label_prop_phi_init()
+        l0 = np.concatenate([np.tile([9.0, 1.0], (k, 1)), [[1.0, 9.0]]])
         self.gamma_k = jnp.asarray(g0, jnp.float32)     # (K,) global
         self.phi = jnp.asarray(phi0, jnp.float32)
         self.lam = jnp.asarray(l0, jnp.float32)
@@ -193,8 +230,35 @@ class SBM(EngineBase):
         e, m = pad_edges(network.training_links, cfg.edge_block)
         self.edges = jnp.asarray(e)
         self.mask = jnp.asarray(m)
-        n_held = len(network.validation_pairs) + len(network.test_pairs)
-        self.n_valid_pairs = jnp.float32(network.total_pairs - n_held)
+        held = np.concatenate(
+            [network.validation_pairs.reshape(-1, 2),
+             network.test_pairs.reshape(-1, 2)], axis=0).astype(np.int32)
+        hp, hm = pad_edges(held, 64)
+        self.held_pairs = jnp.asarray(hp)
+        self.held_mask = jnp.asarray(hm)
+        self.n_valid_pairs = jnp.float32(network.total_pairs - len(held))
+
+    def _label_prop_phi_init(self) -> np.ndarray:
+        """phi init from log10(n)+2 label-propagation sweeps: the largest
+        propagated labels map round-robin onto the K groups, each node
+        gets 0.8 on its group + 0.2 spread."""
+        import math
+        from svinet_tpu.svi.fastinit import vote_topk
+        n, k = self.n, self.k
+        e, m = pad_edges(self.network.training_links, 64)
+        e_d, m_d = jnp.asarray(e), jnp.asarray(m)
+        labels = jnp.arange(n, dtype=jnp.int32)
+        for _ in range(int(math.log10(max(n, 10))) + 2):
+            ids, _ = vote_topk(labels, e_d, m_d, n, min(8, n))
+            labels = jnp.where(ids[:, 0] < n, ids[:, 0], labels)
+        lab = np.asarray(labels)
+        uniq, counts = np.unique(lab, return_counts=True)
+        order = uniq[np.argsort(-counts)]
+        lab_map = {int(u): i % k for i, u in enumerate(order)}
+        hard = np.array([lab_map[int(x)] for x in lab])
+        phi0 = np.full((n, k), 0.2 / k, np.float32)
+        phi0[np.arange(n), hard] += 0.8
+        return phi0
 
     # EngineBase.report uses (gamma, lam) mixed-membership likelihood;
     # SBM overrides with its phi-based mixture.
@@ -229,6 +293,7 @@ class SBM(EngineBase):
                 return
             self.phi, self.gamma_k, self.lam = sbm_batch_step(
                 self.phi, self.gamma_k, self.lam, self.edges, self.mask,
+                self.held_pairs, self.held_mask,
                 jnp.float32(self.sbm_alpha), self.eta, self.n_valid_pairs)
             self.iteration += 1
             if self.iteration % cfg.reportfreq == 0:
@@ -258,9 +323,6 @@ class SBM(EngineBase):
             else:
                 net.set_neighborhood_sets(cfg)
         self._nodec = np.zeros(self.n, np.int64)
-        from svinet_tpu.graph import _pair_key
-        held = self.network.heldout_keys()
-        self._held_keys = held if len(held) else np.array([-1], np.int64)
         inf_eps = 0.001   # reference: src/sbm.cc:9
         max_deg = int(net.training_deg.max()) if self.n else 1
         pad = 1 << int(np.ceil(np.log2(max(max_deg + 101, self.k, 64))))
@@ -292,10 +354,7 @@ class SBM(EngineBase):
                 lambda_scale = phi_scale
             lo = np.minimum(r, others)
             hi = np.maximum(r, others)
-            keys = _pair_key(lo, hi, self.n)
-            idx = np.clip(np.searchsorted(self._held_keys, keys), 0,
-                          len(self._held_keys) - 1)
-            ok = (self._held_keys[idx] != keys) & (others != r)
+            ok = net.edge_ok_mask(lo, hi) & (others != r)
             others = others[ok]
             ys = net.y(np.full(len(others), r), others).astype(np.int32)
 

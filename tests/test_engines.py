@@ -114,3 +114,22 @@ def test_deterministic_mode_reproducible(tmp_path, assort_path):
         eng.batch_infer()
         results.append(np.asarray(eng.gamma))
     np.testing.assert_array_equal(results[0], results[1])
+
+
+def test_sbm_batch_separates_communities(tmp_path, assort_path):
+    """SBM must reliably find the 4 planted blocks (regression for the
+    all-one-community collapse under unstructured inits)."""
+    from svinet_tpu.svi.sbm import SBM
+    from svinet_tpu.config import Config
+    for seed in (2, 7):
+        cfg = Config(n=75, k=4, single=True, heldout_ratio=0.1, seed=seed,
+                     outdir=str(tmp_path / f"sbm{seed}"), max_iterations=25,
+                     use_validation_stop=False, reportfreq=25)
+        cfg.resolve()
+        net = Network(cfg)
+        net.read(assort_path)
+        eng = SBM(cfg, net)
+        eng.batch_infer()
+        phi = np.asarray(eng.phi)
+        counts = np.bincount(phi.argmax(1), minlength=4)
+        assert (counts > 5).sum() >= 3, counts
