@@ -27,6 +27,9 @@ struct ChunkResult {
 };
 
 // Scan whitespace-separated decimal integers in [begin, end).
+// Comment lines (starting with '#' or '%', as in SNAP edge files) are
+// skipped to end-of-line so header text like "# Nodes: 18772" never
+// enters the token stream as edge data.
 void scan_chunk(const char* begin, const char* end, ChunkResult* out) {
   out->vals.reserve((end - begin) / 8);
   const char* p = begin;
@@ -35,6 +38,10 @@ void scan_chunk(const char* begin, const char* end, ChunkResult* out) {
                        *p == '\r' || *p == ','))
       ++p;
     if (p >= end) break;
+    if (*p == '#' || *p == '%') {  // comment: skip to end of line
+      while (p < end && *p != '\n') ++p;
+      continue;
+    }
     bool neg = false;
     if (*p == '-') { neg = true; ++p; }
     int64_t v = 0;
@@ -78,15 +85,14 @@ int64_t* svinet_parse_ints(const char* path, int64_t* out_count,
   if (t < 1) t = 1;
   if (size < (1 << 20)) t = 1;  // small file: single thread
 
-  // chunk boundaries aligned to whitespace so no token is split
+  // chunk boundaries aligned to NEWLINES: keeps tokens intact and makes
+  // sure no thread starts scanning in the middle of a comment line
   std::vector<const char*> bounds(t + 1);
   bounds[0] = data;
   bounds[t] = data + size;
   for (int i = 1; i < t; ++i) {
     const char* p = data + (size * i) / t;
-    while (p < data + size && !(*p == ' ' || *p == '\t' || *p == '\n' ||
-                                *p == '\r' || *p == ','))
-      ++p;
+    while (p < data + size && *p != '\n') ++p;
     bounds[i] = p;
   }
 

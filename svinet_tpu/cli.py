@@ -166,10 +166,10 @@ def parse_args(argv: List[str]) -> Config:
         elif a == "-init-communities":
             cfg.use_init_communities = True
             cfg.init_communities_fname = nxt()
-        elif a == "-label":
-            cfg.label = nxt()
+        elif a == "-disjoint":
+            cfg.disjoint = True
         elif a in ("-force", "-online", "-gp", "-bmark", "-adamic-adar",
-                   "-load-test-sets", "-disjoint"):
+                   "-load-test-sets"):
             pass  # accepted for compatibility
         elif a == "-nthreads":
             nxt()  # pthreads knob: N/A on TPU, accepted for compatibility
@@ -201,6 +201,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     network.read(cfg.datfname)
     print(f"+ network: n = {network.n}, ones = {network.ones}, "
           f"singles = {network.singles}")
+    # engines run on the observed nodes only (reference: src/main.cc:291)
+    network.drop_singles()
 
     # SIGTERM -> checkpoint and exit (reference: src/main.cc:29-46)
     engine_box = {}

@@ -46,9 +46,6 @@ def auc(scores: np.ndarray, y: np.ndarray) -> float:
     if len(pos) == 0 or len(neg) == 0:
         return 0.5
     allv = np.concatenate([pos, neg])
-    order = np.argsort(allv, kind="stable")
-    ranks = np.empty(len(allv))
-    ranks[order] = np.arange(1, len(allv) + 1)
     # midranks for ties
     uniq, inv, cnt = np.unique(allv, return_inverse=True,
                                return_counts=True)

@@ -135,7 +135,6 @@ class Network:
             raw = raw[keep_set]
             uniq_in_order = keep
         n_read = len(uniq_in_order)
-        remap = {int(e): i for i, e in enumerate(uniq_in_order)}
         seq2id = list(int(x) for x in uniq_in_order)
 
         # pad missing nodes as singles (reference: src/network.cc:107-113)
@@ -149,8 +148,12 @@ class Network:
         self.seq2id = np.array(seq2id, np.int64)
         self.id2seq = {e: i for i, e in enumerate(seq2id)}
 
-        p = np.array([remap[int(x)] for x in raw[:, 0]], np.int64)
-        q = np.array([remap[int(x)] for x in raw[:, 1]], np.int64)
+        # vectorized id -> seq remap, keeping ingest at parser speed:
+        # uniq is sorted and seq(uniq[j]) = inverse-permutation of `order`
+        sorted_pos_to_seq = np.empty(len(uniq), np.int64)
+        sorted_pos_to_seq[order] = np.arange(len(uniq))
+        p = sorted_pos_to_seq[np.searchsorted(uniq, raw[:, 0])]
+        q = sorted_pos_to_seq[np.searchsorted(uniq, raw[:, 1])]
         # drop self loops, canonicalize p<q, dedup keeping first occurrence
         mask = p != q
         p, q = p[mask], q[mask]
@@ -182,6 +185,23 @@ class Network:
 
     def neighbors(self, p: int) -> np.ndarray:
         return self.col_idx[self.row_ptr[p]: self.row_ptr[p + 1]]
+
+    def drop_singles(self) -> None:
+        """Shrink n to exclude padded single (edgeless) nodes, matching
+        the reference's `env.n = network.n() - network.singles()`
+        (reference: src/main.cc:291). Singles occupy the trailing seq ids
+        so truncation is safe; total_pairs (already computed at ingest)
+        keeps the padded value like the reference's Network does."""
+        if self.singles == 0:
+            return
+        n_used = self.n - self.singles
+        self.n = n_used
+        self.cfg.n = n_used
+        self.seq2id = self.seq2id[:n_used]
+        self.id2seq = {e: i for i, e in enumerate(self.seq2id)}
+        self.deg = self.deg[:n_used]
+        self.row_ptr = self.row_ptr[: n_used + 1]
+        self.singles = 0
 
     # ------------------------------------------------------------------
     def y(self, p: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -262,9 +282,11 @@ class Network:
             return
         self.validation_pairs, self.validation_y = self._sample_split(rng, half, half)
         if cfg.create_test_precision_sets:
+            # precision split holds out s1 links (NOT s1/2; reference:
+            # set_precision_uniform_sample, src/linksampling.cc:311-330)
             zeros = int((self.total_pairs - self.ones) * cfg.heldout_ratio)
             self.precision_pairs, self.precision_y = self._sample_split(
-                rng, half, min(zeros, 50 * half))
+                rng, max(s1, 1), min(zeros, 50 * max(s1, 1)))
         self.assign_training_links()
 
     def _sample_split(self, rng: np.random.Generator, n_links: int,
@@ -281,10 +303,17 @@ class Network:
 
     def _sample_nonlinks(self, rng: np.random.Generator, count: int,
                          exclude_keys: Optional[np.ndarray] = None) -> np.ndarray:
-        """Rejection-sample `count` distinct nonlink pairs."""
+        """Rejection-sample up to `count` distinct nonlink pairs. Bails out
+        (returning fewer) after a bounded number of attempts so dense or
+        tiny graphs with < count distinct nonlinks cannot hang."""
         out = np.zeros((0, 2), np.int64)
         seen = np.zeros(0, np.int64)
+        max_rounds = 200
+        rounds = 0
         while len(out) < count:
+            rounds += 1
+            if rounds > max_rounds:
+                break
             m = max(64, 2 * (count - len(out)))
             a = rng.integers(0, self.n, size=m)
             b = rng.integers(0, self.n, size=m)
@@ -374,7 +403,9 @@ class Network:
                     pass
                 elif cfg.randzeros:
                     seen = set()
-                    while len(zeros) < limit:
+                    tries = 0
+                    while len(zeros) < limit and tries < 50 * limit:
+                        tries += 1
                         s = int(rng.integers(0, self.n))
                         if s != i and s not in seen and not self.y(
                                 np.array([i]), np.array([s]))[0]:

@@ -90,8 +90,8 @@ class ReportFile:
     heldout.txt): iter, duration, avg, count, avg0, count0, avg1, count1,
     zeros_prob*avg0, ones_prob*avg1, nshol."""
 
-    def __init__(self, path: str):
-        self._f = open(path, "w")
+    def __init__(self, path: str, append: bool = False):
+        self._f = open(path, "a" if append else "w")
 
     def write(self, iteration: int, duration: int, res, zeros_prob: float,
               ones_prob: float) -> float:

@@ -24,27 +24,6 @@ def pad_edges(edges: np.ndarray, block: int) -> Tuple[np.ndarray, np.ndarray]:
     return out, mask
 
 
-def in_sorted(sorted_keys, keys):
-    """Vectorized membership test of int64 `keys` in a sorted int64 array.
-
-    Device-side replacement for the reference's per-pair hash lookups in the
-    hot loop (reference: edge_ok, src/linksampling.hh:294-326; get_y via
-    adjacency scan, src/network.hh:158-175): a branch-free binary search the
-    VPU vectorizes across the whole batch. Works under jit; sorted_keys must
-    be non-empty (pad with -1 sentinel if needed).
-    """
-    import jax.numpy as jnp
-    idx = jnp.clip(jnp.searchsorted(sorted_keys, keys), 0,
-                   sorted_keys.shape[0] - 1)
-    return sorted_keys[idx] == keys
-
-
-def pair_key(p, q, n: int):
-    """Canonical int64 key of an (unordered) node pair; p<q assumed."""
-    import jax.numpy as jnp
-    return p.astype(jnp.int64) * jnp.int64(n) + q.astype(jnp.int64)
-
-
 def choose_edge_block(n_edges: int, k: int,
                       vmem_budget_bytes: int = 256 * 1024 * 1024) -> int:
     """Pick the edge-block size for the sweep scan.

@@ -102,9 +102,11 @@ class EngineBase:
 
         self.iteration = 0
         self.stopper = ValidationStop(stopthresh=cfg.stopthresh)
-        self._vf = ReportFile(cfg.file_str("validation.txt"))
-        self._hf = ReportFile(cfg.file_str("heldout.txt"))
-        self._tf = (ReportFile(cfg.file_str("test.txt"))
+        # on -resume keep the previously written metric history
+        app = bool(getattr(cfg, "resume", False))
+        self._vf = ReportFile(cfg.file_str("validation.txt"), append=app)
+        self._hf = ReportFile(cfg.file_str("heldout.txt"), append=app)
+        self._tf = (ReportFile(cfg.file_str("test.txt"), append=app)
                     if self.test_pairs is not None else None)
         self._mutual = None
         if cfg.nmi and network.ground_truth is not None:

@@ -162,6 +162,12 @@ class MMSBGen:
             alpha = 0.05  # reference: src/main.cc:277 hardcodes gen alpha
             pi = rng.dirichlet(np.full(self.k, alpha), size=self.n)
             beta = rng.beta(cfg.eta0_gen, cfg.eta1_gen, size=self.k)
+            if cfg.disjoint:
+                # disjoint memberships: every pair draw uses the node's
+                # most likely group (reference: draw_membership_indicators
+                # disjoint branch, src/mmsbgen.hh:151-170)
+                hard = np.eye(self.k)[pi.argmax(1)]
+                pi = 0.999 * hard + 0.001 / self.k
             edges = draw_network(self.key, pi, beta, cfg.epsilon)
         with open(cfg.file_str("network_gen.dat"), "w") as f:
             for p, q in edges:

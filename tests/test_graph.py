@@ -88,3 +88,30 @@ def test_native_parser_matches_python(tmp_path):
     got = parse_ints(str(p))
     assert got is not None
     np.testing.assert_array_equal(got.reshape(-1, 2), edges)
+
+
+def test_native_parser_skips_comments(tmp_path):
+    """SNAP-style '#' headers must not leak integers into the edge stream."""
+    import numpy as np
+    from svinet_tpu.io.native import parse_ints, have_native
+    if not have_native():
+        import pytest
+        pytest.skip("native library not built")
+    p = tmp_path / "snap.txt"
+    p.write_text("# Nodes: 18772 Edges: 396160\n% another 777 header\n"
+                 "1\t2\n3\t4\n")
+    got = parse_ints(str(p))
+    np.testing.assert_array_equal(got, [1, 2, 3, 4])
+
+
+def test_drop_singles():
+    import numpy as np
+    from svinet_tpu.config import Config
+    from svinet_tpu.graph import Network
+    cfg = Config(n=10, k=2)
+    net = Network(cfg)
+    net.from_arrays(np.array([0, 1]), np.array([1, 2]))  # 3 observed nodes
+    assert net.singles == 7
+    net.drop_singles()
+    assert net.n == 3 and cfg.n == 3
+    assert len(net.seq2id) == 3 and len(net.deg) == 3
