@@ -133,3 +133,48 @@ def test_sbm_batch_separates_communities(tmp_path, assort_path):
         phi = np.asarray(eng.phi)
         counts = np.bincount(phi.argmax(1), minlength=4)
         assert (counts > 5).sum() >= 3, counts
+
+
+def test_fastamm2_runs_with_precision(tmp_path, assort_path):
+    from svinet_tpu.svi.fastamm2 import FastAMM2
+    from svinet_tpu.config import Config
+    cfg = Config(n=75, k=4, stratified=True, randomnode=True,
+                 heldout_ratio=0.1, seed=3, outdir=str(tmp_path / "fa2"),
+                 max_iterations=60, use_validation_stop=False,
+                 reportfreq=30)
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    eng = FastAMM2(cfg, net)
+    eng.infer()
+    g = np.asarray(eng.gamma)
+    assert np.isfinite(g).all() and (g > 0).all()
+    # precision machinery produced its files
+    import os
+    assert os.path.exists(cfg.file_str("precision.txt"))
+    assert os.path.exists(cfg.file_str("adamic-adar.txt"))
+
+
+def test_checkpoint_roundtrip(tmp_path, assort_path):
+    from svinet_tpu.svi.linksampling import LinkSampling
+    from svinet_tpu.config import Config
+    cfg = Config(n=75, k=4, link_sampling=True, seed=5,
+                 outdir=str(tmp_path / "ck"), max_iterations=4,
+                 use_validation_stop=False, reportfreq=4)
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    eng = LinkSampling(cfg, net)
+    eng.infer()
+    eng.save_checkpoint()
+    g1 = np.asarray(eng.gamma)
+
+    cfg2 = Config(n=75, k=4, link_sampling=True, seed=5,
+                  outdir=str(tmp_path / "ck"), resume=True,
+                  max_iterations=4, use_validation_stop=False, reportfreq=4)
+    cfg2.resolve()
+    net2 = Network(cfg2)
+    net2.read(assort_path)
+    eng2 = LinkSampling(cfg2, net2)
+    assert eng2.iteration == eng.iteration
+    np.testing.assert_allclose(np.asarray(eng2.gamma), g1)
