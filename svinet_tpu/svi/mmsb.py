@@ -150,12 +150,17 @@ class MMSBInfer(EngineBase):
         super().__init__(cfg, network, rng)
         n, k = self.n, self.k
 
-        g0 = init_gamma_random(self.rng, n, k, cfg.deterministic)
-        l0 = np.tile([cfg.eta0, cfg.eta1], (k, 1))
+        if cfg.model_load and cfg.gamma_location:
+            from svinet_tpu.io.writers import load_model
+            g0, l0 = load_model(cfg.gamma_location, n, k, cfg.t)
+        else:
+            g0 = init_gamma_random(self.rng, n, k, cfg.deterministic)
+            l0 = np.tile([cfg.eta0, cfg.eta1], (k, 1))
         self.gamma = jnp.asarray(g0, jnp.float32)
         self.lam = jnp.asarray(l0, jnp.float32)
         self.alpha = jnp.float32(cfg.alpha)
-        self.eta = jnp.asarray(l0, jnp.float32)
+        self.eta = jnp.asarray(np.tile([cfg.eta0, cfg.eta1], (k, 1)),
+                               jnp.float32)
         self.log_eps = float(np.log(cfg.epsilon))
 
         # link lookup keys for host-side sampling (heldout exclusion
