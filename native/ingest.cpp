@@ -121,7 +121,8 @@ void svinet_free(void* p) { free(p); }
 
 // Write an (n, k) float32 matrix as TSV rows:
 //   <seq>\t<ext_id>\t<v0>\t...\t<vk-1>\n     with `decimals` precision.
-// Returns 0 on success.
+// Returns 0 on success, -1 on ANY write error (ENOSPC etc.) so the
+// Python caller can fall back instead of trusting a truncated file.
 int svinet_write_matrix_tsv(const char* path, const float* m, int64_t n,
                             int64_t k, const int64_t* ext_ids,
                             int decimals) {
@@ -129,28 +130,33 @@ int svinet_write_matrix_tsv(const char* path, const float* m, int64_t n,
   if (!f) return -1;
   std::vector<char> buf(1 << 22);
   setvbuf(f, buf.data(), _IOFBF, buf.size());
-  for (int64_t i = 0; i < n; ++i) {
-    fprintf(f, "%lld\t%lld", static_cast<long long>(i),
-            static_cast<long long>(ext_ids ? ext_ids[i] : i));
-    for (int64_t j = 0; j < k; ++j)
-      fprintf(f, "\t%.*f", decimals, static_cast<double>(m[i * k + j]));
-    fputc('\n', f);
+  bool ok = true;
+  for (int64_t i = 0; i < n && ok; ++i) {
+    ok = fprintf(f, "%lld\t%lld", static_cast<long long>(i),
+                 static_cast<long long>(ext_ids ? ext_ids[i] : i)) >= 0;
+    for (int64_t j = 0; j < k && ok; ++j)
+      ok = fprintf(f, "\t%.*f", decimals,
+                   static_cast<double>(m[i * k + j])) >= 0;
+    ok = ok && fputc('\n', f) != EOF;
   }
-  fclose(f);
-  return 0;
+  if (fclose(f) != 0) ok = false;
+  return ok ? 0 : -1;
 }
 
-// Write an (e, 2) int32 edge array as "<src>\t<dst>\n" lines.
-int svinet_write_edges_tsv(const char* path, const int32_t* edges,
+// Write an (e, 2) int64 edge array as "<src>\t<dst>\n" lines.
+int svinet_write_edges_tsv(const char* path, const int64_t* edges,
                            int64_t e) {
   FILE* f = fopen(path, "w");
   if (!f) return -1;
   std::vector<char> buf(1 << 22);
   setvbuf(f, buf.data(), _IOFBF, buf.size());
-  for (int64_t i = 0; i < e; ++i)
-    fprintf(f, "%d\t%d\n", edges[2 * i], edges[2 * i + 1]);
-  fclose(f);
-  return 0;
+  bool ok = true;
+  for (int64_t i = 0; i < e && ok; ++i)
+    ok = fprintf(f, "%lld\t%lld\n",
+                 static_cast<long long>(edges[2 * i]),
+                 static_cast<long long>(edges[2 * i + 1])) >= 0;
+  if (fclose(f) != 0) ok = false;
+  return ok ? 0 : -1;
 }
 
 }  // extern "C"

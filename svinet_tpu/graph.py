@@ -92,7 +92,12 @@ class Network:
                 self._build(raw.reshape(-1, 2))
                 return
         with open(path) as f:
-            text = f.read()
+            # match the native parser's tolerance: '#'/'%' comment lines
+            # dropped, commas treated as separators
+            text = "\n".join(
+                line for line in f.read().split("\n")
+                if not line.lstrip().startswith(("#", "%"))
+            ).replace(",", " ")
         if self.cfg.strid:
             toks = text.split()
             if len(toks) % 2:

@@ -5,15 +5,18 @@ TSV model files (reference: src/main.cc:29-46, LinkSampling::do_on_stop,
 src/linksampling.cc:763-766) and `-load <dir>` to resume from them
 (src/linksampling.cc:1266-1352). This module keeps that text interop
 surface AND adds a native orbax checkpoint of the full engine state
-(device arrays + host counters), which is the multi-host restart story:
-every process restores the same step index and the Robbins-Monro
-schedules realign with zero communication.
+(device arrays + host counters).
+
+Multi-host note: only process 0 writes (per-process gating below); the
+row-sharded large-n path should hand jax.Arrays to orbax directly rather
+than np.asarray-ing them — single-host state is what this covers today.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any, Dict, Optional
 
 import jax
@@ -25,10 +28,24 @@ try:
 except Exception:                   # pragma: no cover - orbax is baked in
     _HAVE_ORBAX = False
 
+KEEP_LAST = 3   # checkpoint retention
+
+
+def _is_primary() -> bool:
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
 
 def save_checkpoint(outdir: str, state: Dict[str, Any], step: int) -> str:
-    """Save device arrays + host scalars under <outdir>/ckpt/<step>."""
+    """Save device arrays + host scalars under <outdir>/ckpt/<step>.
+    The `latest` pointer is written atomically (tmp + rename) so an
+    interrupted save can never leave an unreadable pointer; old steps
+    beyond KEEP_LAST are pruned."""
     path = os.path.abspath(os.path.join(outdir, "ckpt"))
+    if not _is_primary():
+        return path
     os.makedirs(path, exist_ok=True)
     arrays = {k: np.asarray(v) for k, v in state.items()
               if isinstance(v, (jax.Array, np.ndarray))}
@@ -40,18 +57,54 @@ def save_checkpoint(outdir: str, state: Dict[str, Any], step: int) -> str:
         ckptr.wait_until_finished()
     else:
         np.savez(os.path.join(path, f"{step}.npz"), **arrays)
-    with open(os.path.join(path, f"{step}.meta.json"), "w") as f:
+    with open(os.path.join(path, f"{step}.meta.json.tmp"), "w") as f:
         json.dump(scalars, f)
-    with open(os.path.join(path, "latest"), "w") as f:
+    os.replace(os.path.join(path, f"{step}.meta.json.tmp"),
+               os.path.join(path, f"{step}.meta.json"))
+    with open(os.path.join(path, "latest.tmp"), "w") as f:
         f.write(str(step))
+    os.replace(os.path.join(path, "latest.tmp"),
+               os.path.join(path, "latest"))
+    _prune(path, step)
     return os.path.join(path, str(step))
 
 
+def _steps_on_disk(path: str):
+    steps = []
+    for name in os.listdir(path):
+        base = name.split(".")[0]
+        if base.isdigit():
+            steps.append(int(base))
+    return sorted(set(steps))
+
+
+def _prune(path: str, newest: int) -> None:
+    steps = [s for s in _steps_on_disk(path) if s != newest]
+    for s in steps[: max(0, len(steps) - (KEEP_LAST - 1))]:
+        for suffix in ("", ".npz", ".meta.json"):
+            p = os.path.join(path, f"{s}{suffix}")
+            try:
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                elif os.path.exists(p):
+                    os.remove(p)
+            except OSError:
+                pass
+
+
 def latest_step(outdir: str) -> Optional[int]:
-    p = os.path.join(outdir, "ckpt", "latest")
-    if not os.path.exists(p):
-        return None
-    return int(open(p).read().strip())
+    path = os.path.join(outdir, "ckpt")
+    p = os.path.join(path, "latest")
+    if os.path.exists(p):
+        txt = open(p).read().strip()
+        if txt.isdigit():
+            return int(txt)
+    # pointer missing/corrupt: fall back to the newest step on disk
+    if os.path.isdir(path):
+        steps = _steps_on_disk(path)
+        if steps:
+            return steps[-1]
+    return None
 
 
 def load_checkpoint(outdir: str, step: Optional[int] = None

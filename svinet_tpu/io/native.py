@@ -56,7 +56,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
         lib.svinet_write_edges_tsv.restype = ctypes.c_int
         lib.svinet_write_edges_tsv.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -106,8 +106,8 @@ def write_edges_tsv(path: str, edges: np.ndarray) -> bool:
     lib = _load()
     if lib is None:
         return False
-    e = np.ascontiguousarray(edges, np.int32)
+    e = np.ascontiguousarray(edges, np.int64)
     rc = lib.svinet_write_edges_tsv(
-        path.encode(), e.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        path.encode(), e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         e.shape[0])
     return rc == 0

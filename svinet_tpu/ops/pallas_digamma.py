@@ -9,8 +9,9 @@ n*K times per iteration in set_dir_exp (reference: src/linksampling.hh:
 
 Eight unconditional lifts keep the whole tile on one code path — no
 data-dependent branching, which is exactly what the 8x128 VPU wants.
-Accuracy ~1e-6 relative in float32 for x > 1e-3, which covers every
-gamma/lambda value the model produces (alpha floors them away from 0).
+Absolute accuracy ~2e-5 in float32 across x in [5e-3, 40] (relative
+error is larger only near the digamma root x~1.46, where the value
+itself crosses zero) — well inside the model's meanchangethresh.
 
 The kernel tiles a flattened, 128-padded view of the input; the public
 dirichlet_expectation_pallas wraps it into E[log p] = psi(x) - psi(rowsum).
@@ -19,8 +20,6 @@ Falls back to jax.scipy on non-TPU backends (interpret mode in tests).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,7 +27,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_SUBLANES = 8
 _TILE_ROWS = 256      # rows of 128 lanes per grid step (128 KB f32)
 
 

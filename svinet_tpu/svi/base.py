@@ -81,8 +81,7 @@ class EngineBase:
         # training-edges.txt: external-id dump of the training links
         from svinet_tpu.io.native import write_edges_tsv
         ext = network.seq2id[network.training_links.astype(np.int64)]
-        if not write_edges_tsv(cfg.file_str("training-edges.txt"),
-                               ext.astype(np.int32)):
+        if not write_edges_tsv(cfg.file_str("training-edges.txt"), ext):
             with open(cfg.file_str("training-edges.txt"), "w") as f:
                 for p, q in ext:
                     f.write(f"{int(p)}\t{int(q)}\n")

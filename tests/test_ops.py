@@ -90,7 +90,7 @@ def test_pallas_digamma_matches_scipy():
     x = rng.uniform(0.005, 40.0, size=(300, 7)).astype(np.float32)
     got = np.asarray(pallas_digamma(jnp.asarray(x)))
     want = sp_digamma(x.astype(np.float64))
-    assert np.abs(got - want).max() < 2e-5
+    assert np.abs(got - want).max() < 5e-5
 
 
 def test_pallas_dirichlet_expectation_matches_dense():
