@@ -52,13 +52,13 @@ def synth_main(n: int, k: int, n_edges: int) -> None:
     ann = jnp.float32(1.0)
     gamma, lam = linksampling_sweep(gamma, lam, e_d, m_d, d_d, consts,
                                     ann, nb)
-    jax.block_until_ready((gamma, lam))
+    float(gamma[0, 0])   # true completion barrier (see main())
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         gamma, lam = linksampling_sweep(gamma, lam, e_d, m_d, d_d, consts,
                                         ann, nb)
-    jax.block_until_ready((gamma, lam))
+    float(gamma[0, 0])
     dt = time.perf_counter() - t0
     eps = iters * n_edges / dt
     print(json.dumps({
@@ -102,17 +102,19 @@ def main() -> None:
                       n_nodes=jnp.float32(n))
     ann = jnp.float32(1.0)
 
-    # warmup / compile
+    # warmup / compile; the float() host readback forces TRUE completion —
+    # through the axon remote tunnel, block_until_ready alone returns
+    # before the remote execution finishes, inflating throughput ~200x
     gamma, lam = linksampling_sweep(gamma, lam, edges_d, mask_d, deg_d,
                                     consts, ann, num_blocks)
-    jax.block_until_ready((gamma, lam))
+    float(gamma[0, 0])
 
-    n_iters = 50
+    n_iters = 200
     t0 = time.perf_counter()
     for _ in range(n_iters):
         gamma, lam = linksampling_sweep(gamma, lam, edges_d, mask_d, deg_d,
                                         consts, ann, num_blocks)
-    jax.block_until_ready((gamma, lam))
+    float(gamma[0, 0])   # host readback = completion barrier
     dt = time.perf_counter() - t0
 
     n_train = len(net.training_links)
