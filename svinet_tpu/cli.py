@@ -168,8 +168,9 @@ def parse_args(argv: List[str]) -> Config:
             cfg.init_communities_fname = nxt()
         elif a == "-disjoint":
             cfg.disjoint = True
-        elif a in ("-force", "-online", "-gp", "-bmark", "-adamic-adar",
-                   "-load-test-sets"):
+        elif a == "-load-test-sets":
+            cfg.load_test_sets = True
+        elif a in ("-force", "-online", "-gp", "-bmark", "-adamic-adar"):
             pass  # accepted for compatibility
         elif a == "-nthreads":
             nxt()  # pthreads knob: N/A on TPU, accepted for compatibility

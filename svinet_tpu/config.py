@@ -100,6 +100,7 @@ class Config:
     load_heldout_fname: str = ""
     load_test: bool = False
     load_test_fname: str = ""
+    load_test_sets: bool = False    # uniform/biased-heldout-pairs.txt
     use_init_communities: bool = False
     init_communities_fname: str = ""
     force_overwrite_dir: bool = True

@@ -138,6 +138,24 @@ class LinkSampling(EngineBase):
 
         self.annealing = True
         self._ce_cache = (self.edges, self.mask)  # reuse for communities
+
+        # -load-test-sets: fixed uniform/biased heldout pair files from
+        # the cwd, each with its own per-report likelihood trace
+        # (reference: LinkSampling::load_test_sets,
+        # src/linksampling.cc:1075-1145)
+        self._test_sets = []
+        if cfg.load_test_sets:
+            from svinet_tpu.io.writers import ReportFile, write_edgelist
+            for name in ("uniform", "biased"):
+                pairs, ys = network.load_pairs_file(
+                    f"{name}-heldout-pairs.txt")
+                write_edgelist(cfg.file_str(f"{name}-test-pairs.txt"),
+                               pairs, ys, network.seq2id)
+                cfg.plog(f"loaded {name} test pairs:", len(pairs))
+                self._test_sets.append(
+                    (jnp.asarray(pairs), jnp.asarray(ys.astype(np.int32)),
+                     ReportFile(cfg.file_str(f"{name}-test.txt"))))
+
         if cfg.resume and self.try_restore():
             print(f"+ resumed from checkpoint at iteration {self.iteration}")
 
@@ -170,6 +188,13 @@ class LinkSampling(EngineBase):
         (reference: src/linksampling.cc:1036-1043)."""
         stop = super().report()
         self._log_convergence()
+        if self._test_sets:
+            from svinet_tpu.evals.likelihood import heldout_stats
+            for pairs, ys, rf in self._test_sets:
+                res = heldout_stats(self.gamma, self.lam, pairs, ys,
+                                    self.cfg.epsilon)
+                rf.write(self.iteration, self.duration(), res,
+                         self.cfg.zeros_prob, self.cfg.ones_prob)
         if self.annealing and self._last_stop_raw:
             self.annealing = False
             self.stopper.reset_after_annealing()
