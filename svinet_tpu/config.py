@@ -139,7 +139,9 @@ class Config:
 
     def _default_outdir(self) -> str:
         """Output-dir naming scheme (reference: src/env.hh:503-568)."""
-        if self.gml:
+        if self.gml or self.lcstats:
+            # gml/lcstats load gamma.txt from the cwd and write alongside
+            # (reference: src/env.hh:568 uses prefix "gml")
             return "gml"
         parts = []
         if self.gen:
