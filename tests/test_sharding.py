@@ -143,3 +143,35 @@ def test_rowsharded_sweep_matches_single_chip():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(l8), np.asarray(l1),
                                rtol=2e-4, atol=2e-3)
+
+
+def test_multi_sweep_matches_repeated_single():
+    """The fused n-sweep program must equal n single-sweep calls."""
+    from svinet_tpu.svi.linksampling import (
+        linksampling_sweep, linksampling_multi_sweep)
+    n, k = 60, 4
+    edges = _toy_graph(n, k)
+    deg = np.zeros(n, np.int32)
+    np.add.at(deg, edges[:, 0], 1)
+    np.add.at(deg, edges[:, 1], 1)
+    rng = np.random.default_rng(9)
+    gamma0 = init_gamma_from_links(rng, edges, n, k, 0.25).astype(np.float32)
+    lam0 = np.tile([1.0, 1.0], (k, 1)).astype(np.float32)
+    e1, m1 = pad_edges(edges, 64)
+    consts = LSConsts(alpha=jnp.float32(0.25),
+                      eta=jnp.asarray([1.0, 1.0], jnp.float32),
+                      ones=jnp.float32(len(edges)),
+                      n_nodes=jnp.float32(n))
+    args = (jnp.asarray(e1), jnp.asarray(m1),
+            jnp.asarray(deg, jnp.float32), consts, jnp.float32(1.0),
+            e1.shape[0] // 64)
+
+    g_a, l_a = jnp.asarray(gamma0), jnp.asarray(lam0)
+    for _ in range(5):
+        g_a, l_a = linksampling_sweep(g_a, l_a, *args)
+    g_b, l_b = linksampling_multi_sweep(jnp.asarray(gamma0),
+                                        jnp.asarray(lam0), *args, 5)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_b),
+                               rtol=1e-5, atol=1e-4)
