@@ -178,3 +178,52 @@ def test_checkpoint_roundtrip(tmp_path, assort_path):
     eng2 = LinkSampling(cfg2, net2)
     assert eng2.iteration == eng.iteration
     np.testing.assert_allclose(np.asarray(eng2.gamma), g1)
+
+
+def test_orig_engine_runs(tmp_path, assort_path):
+    from svinet_tpu.svi.orig import MMSBOrig
+    from svinet_tpu.config import Config
+    cfg = Config(n=75, k=4, orig=True, heldout_ratio=0.1, seed=2,
+                 outdir=str(tmp_path / "orig"), max_iterations=8,
+                 use_validation_stop=False, reportfreq=8)
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    eng = MMSBOrig(cfg, net)
+    eng.batch_infer()
+    assert np.isfinite(np.asarray(eng.gamma)).all()
+    b = np.asarray(eng.beta)
+    assert ((b > 0) & (b < 1)).all()
+
+
+def test_gen_then_infer_recovers_groups(tmp_path, monkeypatch):
+    """Generate a 4-community network, fit it, and check the recovered
+    argmax groups align with the planted ones (label-permutation NMI)."""
+    monkeypatch.chdir(tmp_path)
+    from svinet_tpu.cli import parse_args
+    from svinet_tpu.svi.gen import MMSBGen
+    from svinet_tpu.svi.linksampling import LinkSampling
+    from svinet_tpu.evals.nmi import overlapping_nmi
+
+    gcfg = parse_args(["-n", "150", "-k", "4", "-gen", "-seed", "11"])
+    MMSBGen(gcfg).gen()
+    netfile = gcfg.file_str("network_gen.dat")
+    planted = {}
+    for line in open(gcfg.file_str("groups.txt")):
+        toks = line.split()
+        planted.setdefault(int(toks[-1]), []).append(int(toks[0]))
+
+    cfg = parse_args(["-file", netfile, "-n", "150", "-k", "4",
+                      "-link-sampling", "-seed", "1", "-label", "fit",
+                      "-max-iterations", "80"])
+    net = Network(cfg)
+    net.read(netfile)
+    net.drop_singles()
+    eng = LinkSampling(cfg, net)
+    eng.infer()
+    gamma = np.asarray(eng.gamma)
+    groups = {}
+    for seq, g in enumerate(gamma.argmax(1)):
+        groups.setdefault(int(g), []).append(int(net.seq2id[seq]))
+    nmi = overlapping_nmi(list(planted.values()), list(groups.values()))
+    assert nmi > 0.5, nmi
