@@ -115,3 +115,15 @@ def test_drop_singles():
     net.drop_singles()
     assert net.n == 3 and cfg.n == 3
     assert len(net.seq2id) == 3 and len(net.deg) == 3
+
+
+def test_strid_ingest(tmp_path):
+    from svinet_tpu.config import Config
+    from svinet_tpu.graph import Network
+    p = tmp_path / "s.txt"
+    p.write_text("alice\tbob\nbob\tcarol\nalice\tcarol\n")
+    cfg = Config(n=3, k=2, strid=True)
+    net = Network(cfg)
+    net.read(str(p))
+    assert net.n == 3 and net.ones == 3
+    assert net.str_ids == ["alice", "bob", "carol"]
