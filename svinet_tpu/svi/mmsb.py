@@ -113,6 +113,34 @@ def svi_step(gamma, lam, pairs, y, w, alpha, eta, gscale, lscale,
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("num_blocks", "max_iters", "infthresh"))
+def svi_multi_step(gamma, lam, batch_pairs, batch_y, batch_w, alpha, eta,
+                   gscales, lscales, noderhots, rhots, do_lambdas,
+                   log_eps, num_blocks: int, max_iters: int,
+                   thresh: float = 1e-5, infthresh: float = 0.0):
+    """B natural-gradient SVI steps fused into one device program.
+
+    batch_pairs: (B, s, 2) pre-sampled minibatches (host rng keeps the
+    reference's rejection-sampling semantics); per-step schedule scalars
+    arrive as (B,) arrays. One host round trip per report interval — the
+    same tunnel-latency optimization as linksampling_multi_sweep."""
+
+    def one(state, xs):
+        g, l = state
+        pairs, y, w, gs, ls, nr, rt, dl = xs
+        g, l = svi_step.__wrapped__(
+            g, l, pairs, y, w, alpha, eta, gs, ls, nr, rt, dl, log_eps,
+            num_blocks, max_iters, thresh, infthresh)
+        return (g, l), None
+
+    (gamma, lam), _ = jax.lax.scan(
+        one, (gamma, lam),
+        (batch_pairs, batch_y, batch_w, gscales, lscales, noderhots,
+         rhots, do_lambdas))
+    return gamma, lam
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
                    static_argnames=("num_blocks", "max_iters"))
 def batch_step(gamma, lam, pairs, y, w, alpha, eta, do_lambda, log_eps,
                num_blocks: int, max_iters: int, thresh: float = 1e-5):
@@ -237,7 +265,9 @@ class MMSBInfer(EngineBase):
         return np.stack([lo, hi], 1).astype(np.int32), y, w
 
     # ------------------------------------------------------------------
-    def _step_minibatch(self) -> None:
+    def _prepare_minibatch(self, it: int):
+        """Sample one minibatch + its schedule scalars; advances the host
+        sampling state (family alternation, delaylearn bookkeeping)."""
         cfg = self.cfg
         n = self.n
         if cfg.randomnode:
@@ -259,7 +289,6 @@ class MMSBInfer(EngineBase):
             pad_to = max(self._block,
                          ((s + self._block - 1) // self._block) * self._block)
 
-        # pad to the fixed compiled shape
         pp = np.zeros((pad_to, 2), np.int32)
         yy = np.zeros(pad_to, np.int32)
         ww = np.zeros(pad_to, np.float32)
@@ -267,7 +296,6 @@ class MMSBInfer(EngineBase):
         yy[:len(pairs)] = y
         ww[:len(pairs)] = w
 
-        it = self.iteration
         noderhot = (cfg.nodetau0 + it / 100.0) ** (-cfg.nodekappa)
         do_lambda = 0.0
         rhot = 0.0
@@ -282,18 +310,33 @@ class MMSBInfer(EngineBase):
                 -cfg.kappa)
             do_lambda = 1.0
 
-        self.gamma, self.lam = svi_step(
-            self.gamma, self.lam, jnp.asarray(pp), jnp.asarray(yy),
-            jnp.asarray(ww), self.alpha, self.eta,
-            jnp.float32(gscale), jnp.float32(lscale),
-            jnp.float32(noderhot), jnp.float32(rhot),
-            jnp.float32(do_lambda), jnp.float32(self.log_eps),
+        if cfg.stratified:
+            self._family = 0 if self._family else 1
+        return (pp, yy, ww, gscale, lscale, noderhot, rhot, do_lambda,
+                pad_to)
+
+    def _step_minibatches(self, count: int) -> None:
+        """Run `count` SVI steps with ONE device call: minibatches are
+        sampled host-side (reference rng semantics preserved) and the
+        per-step updates scan on device."""
+        cfg = self.cfg
+        batches = [self._prepare_minibatch(self.iteration + b)
+                   for b in range(count)]
+        pad_to = batches[0][-1]
+        stack = lambda i, dt: jnp.asarray(
+            np.stack([b[i] for b in batches]).astype(dt))
+        self.gamma, self.lam = svi_multi_step(
+            self.gamma, self.lam, stack(0, np.int32), stack(1, np.int32),
+            stack(2, np.float32), self.alpha, self.eta,
+            stack(3, np.float32), stack(4, np.float32),
+            stack(5, np.float32), stack(6, np.float32),
+            stack(7, np.float32), jnp.float32(self.log_eps),
             num_blocks=pad_to // self._block,
             max_iters=cfg.online_iterations, thresh=cfg.meanchangethresh,
             infthresh=float(cfg.infthresh))
 
-        if cfg.stratified:
-            self._family = 0 if self._family else 1
+    def _step_minibatch(self) -> None:
+        self._step_minibatches(1)
 
     def report(self) -> bool:
         stop = super().report()
@@ -329,13 +372,20 @@ class MMSBInfer(EngineBase):
 
     def infer(self) -> None:
         cfg = self.cfg
+        r = max(cfg.reportfreq, 1)
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
                 return
-            self._step_minibatch()
-            self.iteration += 1
-            if self.iteration % cfg.reportfreq == 0:
+            # fuse every step up to the next report boundary into one
+            # device call (reports fire when iteration becomes a multiple
+            # of r after stepping)
+            todo = r - (self.iteration % r)
+            if cfg.max_iterations:
+                todo = min(todo, cfg.max_iterations - self.iteration + 1)
+            self._step_minibatches(todo)
+            self.iteration += todo
+            if self.iteration % r == 0:
                 if self.report():
                     self.do_on_stop()
                     return
