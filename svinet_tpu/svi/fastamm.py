@@ -37,13 +37,14 @@ INF_EPSILON = 1e-4       # reference: src/fastamm.cc:18
 NONINF_SETSIZE = 200     # reference: src/fastamm.cc:18
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("max_iters",))
-def fastamm_step(gamma, lam, pairs, y, w, noderho, alpha, eta, scale,
-                 rhot, do_lambda, log_eps, max_iters: int,
-                 thresh: float = 1e-5):
-    """One FastAMM iteration. noderho: (n,1) per-node step size, 0 for
-    untouched nodes (their gamma rows stay fixed)."""
+def _fastamm_body(gamma, lam, pairs, y, w, touched, rho, alpha, eta,
+                  scale, rhot, do_lambda, log_eps, max_iters: int,
+                  thresh: float):
+    """One FastAMM iteration. touched: (T,) node indices taking a gamma
+    step this iteration (pad with n -> dump row); rho: (T,) their
+    Robbins-Monro rates. Sparse form keeps the fused multi-step transfer
+    at O(T) per iteration instead of O(n)."""
+    n, k = gamma.shape
     elogpi = dirichlet_expectation(gamma)
     elogbeta = dirichlet_expectation(lam)
     p, q = pairs[:, 0], pairs[:, 1]
@@ -58,11 +59,42 @@ def fastamm_step(gamma, lam, pairs, y, w, noderho, alpha, eta, scale,
     lacc = jnp.stack([jnp.where(yf, pp, 0.0).sum(0),
                       jnp.where(yf, 0.0, pp).sum(0)], axis=1)
 
-    gammat = alpha + scale * gacc
-    gamma = (1.0 - noderho) * gamma + noderho * gammat
+    rows = jnp.clip(touched, 0, n - 1)
+    upd = (1.0 - rho[:, None]) * gamma[rows] + rho[:, None] * (
+        alpha + scale * gacc[rows])
+    gpad = jnp.concatenate([gamma, jnp.zeros((1, k), gamma.dtype)])
+    gamma = gpad.at[jnp.where(touched < n, touched, n)].set(upd)[:n]
     lambdat = eta + scale * lacc
     lam = jnp.where(do_lambda > 0,
                     (1.0 - rhot) * lam + rhot * lambdat, lam)
+    return gamma, lam
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("max_iters",))
+def fastamm_step(gamma, lam, pairs, y, w, touched, rho, alpha, eta,
+                 scale, rhot, do_lambda, log_eps, max_iters: int,
+                 thresh: float = 1e-5):
+    return _fastamm_body(gamma, lam, pairs, y, w, touched, rho, alpha,
+                         eta, scale, rhot, do_lambda, log_eps, max_iters,
+                         thresh)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("max_iters",))
+def fastamm_multi_step(gamma, lam, b_pairs, b_y, b_w, b_touched, b_rho,
+                       alpha, eta, b_scale, b_rhot, do_lambda, log_eps,
+                       max_iters: int, thresh: float = 1e-5):
+    """A report interval of FastAMM iterations in one device program."""
+    def one(state, xs):
+        g, l = state
+        pairs, y, w, touched, rho, scale, rhot = xs
+        return _fastamm_body(g, l, pairs, y, w, touched, rho, alpha, eta,
+                             scale, rhot, do_lambda, log_eps, max_iters,
+                             thresh), None
+    (gamma, lam), _ = jax.lax.scan(
+        one, (gamma, lam),
+        (b_pairs, b_y, b_w, b_touched, b_rho, b_scale, b_rhot))
     return gamma, lam
 
 
@@ -147,7 +179,9 @@ class FastAMM(EngineBase):
         return pairs, np.zeros(len(others), np.int32), nodes
 
     # ------------------------------------------------------------------
-    def _step(self) -> None:
+    def _prepare(self, it: int):
+        """Sample one iteration's pair set + touched-node schedule;
+        advances the per-node counters host-side."""
         cfg = self.cfg
         n = self.n
         coin = self.rng.uniform() < INF_EPSILON
@@ -167,30 +201,60 @@ class FastAMM(EngineBase):
         yy[:m] = ys[:m]
         ww[:m] = 1.0
 
-        noderho = np.zeros((n, 1), np.float32)
-        for a in nodes:
-            noderho[a, 0] = (cfg.nodetau0 + self._nodec[a]) ** (
-                -cfg.nodekappa)
+        tpad = pad + 8
+        touched = np.full(tpad, n, np.int32)      # pad -> dump row
+        rho = np.zeros(tpad, np.float32)
+        for j, a in enumerate(nodes[:tpad]):
+            touched[j] = a
+            rho[j] = (cfg.nodetau0 + self._nodec[a]) ** (-cfg.nodekappa)
             self._nodec[a] += 1
 
-        rhot = (cfg.tau0 + (self.iteration - self._lambda_start_iter + 1)
+        rhot = (cfg.tau0 + (it - self._lambda_start_iter + 1)
                 ) ** (-cfg.kappa)
-        self.gamma, self.lam = fastamm_step(
-            self.gamma, self.lam, jnp.asarray(pp), jnp.asarray(yy),
-            jnp.asarray(ww), jnp.asarray(noderho), self.alpha, self.eta,
-            jnp.float32(scale), jnp.float32(rhot),
-            jnp.float32(0.0 if cfg.nolambda else 1.0), self.log_eps,
+        return pp, yy, ww, touched, rho, scale, rhot
+
+    def _step_many(self, count: int) -> None:
+        """`count` iterations fused into one device call (host sampling,
+        device scan — same tunnel-latency optimization as the other
+        engines)."""
+        cfg = self.cfg
+        batches = [self._prepare(self.iteration + b) for b in range(count)]
+        do_lam = jnp.float32(0.0 if cfg.nolambda else 1.0)
+        if count == 1:
+            pp, yy, ww, touched, rho, scale, rhot = batches[0]
+            self.gamma, self.lam = fastamm_step(
+                self.gamma, self.lam, jnp.asarray(pp), jnp.asarray(yy),
+                jnp.asarray(ww), jnp.asarray(touched), jnp.asarray(rho),
+                self.alpha, self.eta, jnp.float32(scale),
+                jnp.float32(rhot), do_lam, self.log_eps,
+                max_iters=cfg.online_iterations,
+                thresh=cfg.meanchangethresh)
+            return
+        stack = lambda i, dt: jnp.asarray(
+            np.stack([b[i] for b in batches]).astype(dt))
+        self.gamma, self.lam = fastamm_multi_step(
+            self.gamma, self.lam, stack(0, np.int32), stack(1, np.int32),
+            stack(2, np.float32), stack(3, np.int32), stack(4, np.float32),
+            self.alpha, self.eta, stack(5, np.float32),
+            stack(6, np.float32), do_lam, self.log_eps,
             max_iters=cfg.online_iterations, thresh=cfg.meanchangethresh)
+
+    def _step(self) -> None:
+        self._step_many(1)
 
     def infer(self) -> None:
         cfg = self.cfg
+        r = max(cfg.reportfreq, 1)
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
                 return
-            self._step()
-            self.iteration += 1
-            if self.iteration % cfg.reportfreq == 0:
+            todo = r - (self.iteration % r)
+            if cfg.max_iterations:
+                todo = min(todo, cfg.max_iterations - self.iteration + 1)
+            self._step_many(todo)
+            self.iteration += todo
+            if self.iteration % r == 0:
                 if self.report():
                     self.do_on_stop()
                     return
