@@ -105,7 +105,7 @@ class FastAMM2(EngineBase):
         pairs = np.stack([lo[ok], hi[ok]], 1).astype(np.int32)
         return pairs, ys[ok], scale
 
-    def _step(self) -> None:
+    def _prepare(self, it: int):
         cfg = self.cfg
         pairs, ys, scale = self._sample()
         pad = self._pad
@@ -116,19 +116,29 @@ class FastAMM2(EngineBase):
         pp[:m] = pairs[:m]
         yy[:m] = ys[:m]
         ww[:m] = 1.0
-
-        it = self.iteration
         noderhot = (cfg.nodetau0 + it) ** (-cfg.nodekappa)
         rhot = (cfg.tau0 + (it - self._lambda_start_iter + 1)) ** (-cfg.kappa)
-        self.gamma, self.lam = svi_step(
-            self.gamma, self.lam, jnp.asarray(pp), jnp.asarray(yy),
-            jnp.asarray(ww), self.alpha, self.eta,
-            jnp.float32(scale), jnp.float32(scale),
-            jnp.float32(noderhot), jnp.float32(rhot),
-            jnp.float32(0.0 if cfg.nolambda else 1.0),
-            jnp.float32(self.log_eps),
-            num_blocks=pad // self._block,
+        return pp, yy, ww, scale, scale, noderhot, rhot, \
+            (0.0 if cfg.nolambda else 1.0)
+
+    def _step_many(self, count: int) -> None:
+        """Fused report interval (host sampling, device scan)."""
+        from svinet_tpu.svi.mmsb import svi_multi_step
+        cfg = self.cfg
+        batches = [self._prepare(self.iteration + b) for b in range(count)]
+        stack = lambda i, dt: jnp.asarray(
+            np.stack([b[i] for b in batches]).astype(dt))
+        self.gamma, self.lam = svi_multi_step(
+            self.gamma, self.lam, stack(0, np.int32), stack(1, np.int32),
+            stack(2, np.float32), self.alpha, self.eta,
+            stack(3, np.float32), stack(4, np.float32),
+            stack(5, np.float32), stack(6, np.float32),
+            stack(7, np.float32), jnp.float32(self.log_eps),
+            num_blocks=self._pad // self._block,
             max_iters=cfg.online_iterations, thresh=cfg.meanchangethresh)
+
+    def _step(self) -> None:
+        self._step_many(1)
 
     # ------------------------------------------------------------------
     def compute_precision(self) -> Tuple[int, int, int]:
@@ -165,13 +175,17 @@ class FastAMM2(EngineBase):
     def infer(self) -> None:
         cfg = self.cfg
         self.log_adamic_adar_baseline()
+        r = max(cfg.reportfreq, 1)
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
                 return
-            self._step()
-            self.iteration += 1
-            if self.iteration % cfg.reportfreq == 0:
+            todo = r - (self.iteration % r)
+            if cfg.max_iterations:
+                todo = min(todo, cfg.max_iterations - self.iteration + 1)
+            self._step_many(todo)
+            self.iteration += todo
+            if self.iteration % r == 0:
                 if self.report():
                     self.do_on_stop()
                     return
