@@ -35,6 +35,7 @@ svinet [OPTIONS]
 \t-findk\t\testimate the number of communities
 \t-single\t\tstochastic blockmodel inference
 \t-orig\t\tfull-blockmodel (Airoldi et al.) batch inference
+\t-itype <0|1>\torig beta init: 0 random, 1 data-derived assortative
 \t-gen\t\tgenerate a network from the model
 \t-ppc\t\tposterior predictive checks
 \t-gml\t\tgenerate a GML visualization of link communities
@@ -91,6 +92,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.single = True
         elif a == "-orig":
             cfg.orig = True
+        elif a == "-itype":
+            cfg.itype = int(nxt())
         elif a == "-infset":
             cfg.informative_sampling = True
         elif a == "-preprocess":

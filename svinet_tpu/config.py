@@ -64,6 +64,8 @@ class Config:
     informative_sampling: bool = False   # -infset
     single: bool = False                 # -single (SBM)
     orig: bool = False                   # -orig (full blockmodel)
+    itype: int = 0                       # -itype (orig beta init variant,
+                                         # reference: src/mmsbinferorig.cc:74-77)
     findk: bool = False
     gen: bool = False
     ppc: bool = False
@@ -192,6 +194,8 @@ class Config:
                 tag += "R"
             if tag:
                 parts.append(tag)
+        if self.itype > 0:
+            parts.append(f"i{self.itype}")   # reference: src/env.hh:551-552
         return "-".join(parts)
 
     # ------------------------------------------------------------------

@@ -126,8 +126,19 @@ class MMSBOrig(EngineBase):
         super().__init__(cfg, network, rng)
         n, k = self.n, self.k
         g0 = self.rng.gamma(100.0, 0.01, size=(n, k))
-        b0 = np.clip(self.rng.integers(0, 100, size=(k, k)) / 100.0,
-                     0.01, 0.99)
+        if cfg.itype == 0:
+            # init_beta1: random uniform (reference: src/mmsbinferorig.cc:167-186)
+            b0 = np.clip(self.rng.integers(0, 100, size=(k, k)) / 100.0,
+                         0.01, 0.99)
+        else:
+            # init_beta2: data-derived assortative diag + epsilon off-diag
+            # (reference: src/mmsbinferorig.cc:189-209)
+            eta0 = cfg.total_pairs * cfg.ones_prob / k
+            eta1 = cfg.total_pairs / (k * k) - eta0
+            if eta1 < 0:
+                eta1 = 1.0
+            b0 = np.full((k, k), cfg.epsilon)
+            np.fill_diagonal(b0, eta0 / (eta0 + eta1))
         self.gamma = jnp.asarray(g0, jnp.float32)
         self.beta = jnp.asarray(b0, jnp.float32)
         self._block = min(cfg.edge_block, 2048)

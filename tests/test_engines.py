@@ -196,6 +196,29 @@ def test_orig_engine_runs(tmp_path, assort_path):
     assert ((b > 0) & (b < 1)).all()
 
 
+def test_orig_itype1_assortative_init(tmp_path, assort_path):
+    """-itype 1 uses the data-derived assortative beta init
+    (reference: src/mmsbinferorig.cc:189-209) and tags the outdir -i1
+    (reference: src/env.hh:551-552)."""
+    from svinet_tpu.svi.orig import MMSBOrig
+    from svinet_tpu.config import Config
+    cfg = Config(n=75, k=4, orig=True, itype=1, heldout_ratio=0.1, seed=2,
+                 outdir=str(tmp_path / "orig1"), max_iterations=4,
+                 use_validation_stop=False, reportfreq=4)
+    cfg.resolve()
+    assert cfg._default_outdir().endswith("-i1")
+    net = Network(cfg)
+    net.read(assort_path)
+    eng = MMSBOrig(cfg, net)
+    b0 = np.asarray(eng.beta)
+    # assortative: diagonal dominates, off-diagonal is epsilon
+    assert (np.diag(b0) > 0.1).all()
+    off = b0[~np.eye(4, dtype=bool)]
+    assert (off == cfg.epsilon).all()
+    eng.batch_infer()
+    assert np.isfinite(np.asarray(eng.gamma)).all()
+
+
 def test_gen_then_infer_recovers_groups(tmp_path, monkeypatch):
     """Generate a 4-community network, fit it, and check the recovered
     argmax groups align with the planted ones (label-permutation NMI)."""
