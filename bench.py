@@ -74,7 +74,7 @@ def main() -> None:
     from svinet_tpu.graph import Network
     from svinet_tpu.ops.edges import pad_edges
     from svinet_tpu.svi.linksampling import (
-        linksampling_sweep, init_gamma_from_links)
+        linksampling_multi_sweep, init_gamma_from_links)
     from svinet_tpu.svi.sweep_math import LSConsts
 
     cfg = Config(n=17903, k=20, heldout_ratio=0.02, link_sampling=True,
@@ -102,20 +102,27 @@ def main() -> None:
                       n_nodes=jnp.float32(n))
     ann = jnp.float32(1.0)
 
+    # The engine fuses all sweeps between report boundaries into ONE device
+    # program (linksampling_multi_sweep, the CLI's -rfreq behavior), so the
+    # benchmark measures exactly that: rfreq sweeps per host round trip.
+    rfreq = 10
+
     # warmup / compile; the float() host readback forces TRUE completion —
     # through the axon remote tunnel, block_until_ready alone returns
     # before the remote execution finishes, inflating throughput ~200x
-    gamma, lam = linksampling_sweep(gamma, lam, edges_d, mask_d, deg_d,
-                                    consts, ann, num_blocks)
+    gamma, lam = linksampling_multi_sweep(gamma, lam, edges_d, mask_d, deg_d,
+                                          consts, ann, num_blocks, rfreq)
     float(gamma[0, 0])
 
-    n_iters = 200
+    n_dispatch = 20
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        gamma, lam = linksampling_sweep(gamma, lam, edges_d, mask_d, deg_d,
-                                        consts, ann, num_blocks)
+    for _ in range(n_dispatch):
+        gamma, lam = linksampling_multi_sweep(gamma, lam, edges_d, mask_d,
+                                              deg_d, consts, ann,
+                                              num_blocks, rfreq)
     float(gamma[0, 0])   # host readback = completion barrier
     dt = time.perf_counter() - t0
+    n_iters = n_dispatch * rfreq
 
     n_train = len(net.training_links)
     eps = n_iters * n_train / dt
