@@ -134,17 +134,16 @@ def make_rowsharded_sweep(mesh: Mesh, num_blocks_per_shard: int,
 
     def _local(gamma, lam, edges, mask, deg, consts, annealing):
         from svinet_tpu.ops.expectations import dirichlet_expectation
-        nl = gamma.shape[0]  # local rows
         elogpi_l = dirichlet_expectation(gamma)
         elogpi = jax.lax.all_gather(elogpi_l, axis, tiled=True)
         elogbeta = dirichlet_expectation(lam)
         gacc_full, sumk = phi_pass(elogpi, elogbeta[:, 0], edges, mask,
                                    num_blocks_per_shard)
         sumk = jax.lax.psum(sumk, axis)
-        # reduce-scatter gacc: psum then slice this shard's rows
-        gacc_full = jax.lax.psum(gacc_full, axis)
-        idx = jax.lax.axis_index(axis)
-        gacc = jax.lax.dynamic_slice_in_dim(gacc_full, idx * nl, nl, 0)
+        # reduce-scatter gacc: each shard keeps only its row slice, at half
+        # the ICI traffic of a full psum
+        gacc = jax.lax.psum_scatter(gacc_full, axis, scatter_dimension=0,
+                                    tiled=True)
         gnext, mphi_l, s1_l, s2_l, lam0 = mean_indicator_update(
             gacc, sumk, deg, consts, annealing)
         s1 = jax.lax.psum(s1_l, axis)
