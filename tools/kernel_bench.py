@@ -161,10 +161,14 @@ def run(n, k, e, block=1024):
     results["scatter"] = bench(v_scatter, el, eb, ed)
     el16 = el.astype(jnp.bfloat16)
     results["scatter_bf16"] = bench(v_scatter_bf16, el16, eb, ed)
-    results["segsum"] = bench(v_segsum, el, eb, ed, si, es)
-    dst = np.concatenate([edges[:, 1], edges[:, 0]])[perm].astype(np.int32)
-    dst_d = jnp.asarray(dst)
-    results["csr"] = bench(v_csr, el, eb, si, dst_d)
+    # segsum/csr materialize a (2E,K) contribution array in one flat op;
+    # skip them where that exceeds HBM headroom (the synth K=500 scale)
+    flat_ok = 2 * e * k * 4 < 3 * 1024**3
+    if flat_ok:
+        results["segsum"] = bench(v_segsum, el, eb, ed, si, es)
+        dst = np.concatenate([edges[:, 1], edges[:, 0]])[perm].astype(np.int32)
+        dst_d = jnp.asarray(dst)
+        results["csr"] = bench(v_csr, el, eb, si, dst_d)
     results["onehot_f32"] = bench(v_onehot, el, eb, ed_pad, m_pad, block,
                                   jnp.float32)
     results["onehot_bf16"] = bench(v_onehot, el, eb, ed_pad, m_pad, block,
@@ -177,11 +181,13 @@ def run(n, k, e, block=1024):
 
     # numeric agreement of the candidates vs scatter
     ref = np.asarray(v_scatter(el, eb, ed))
-    for name, fn, args in [
-            ("segsum", v_segsum, (el, eb, ed, si, es)),
-            ("csr", v_csr, (el, eb, si, dst_d)),
-            ("onehot_f32", v_onehot, (el, eb, ed_pad, m_pad, block, jnp.float32)),
-            ("onehot_bf16", v_onehot, (el, eb, ed_pad, m_pad, block, jnp.bfloat16))]:
+    checks = [
+        ("onehot_f32", v_onehot, (el, eb, ed_pad, m_pad, block, jnp.float32)),
+        ("onehot_bf16", v_onehot, (el, eb, ed_pad, m_pad, block, jnp.bfloat16))]
+    if flat_ok:
+        checks = [("segsum", v_segsum, (el, eb, ed, si, es)),
+                  ("csr", v_csr, (el, eb, si, dst_d))] + checks
+    for name, fn, args in checks:
         got = np.asarray(fn(*args))
         err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-30)
         print(f"  {name:12s} max rel err vs scatter: {err:.2e}")
