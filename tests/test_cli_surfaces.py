@@ -1,0 +1,114 @@
+"""End-to-end CLI surface tests for the aux modes: -preprocess/-infset,
+-gml, -gen -> -ppc, and -lcstats, exercising the same dispatch paths a
+reference user drives (reference: src/main.cc:246-377)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from svinet_tpu.cli import main
+
+
+def _find_file(root, name):
+    hits = []
+    for dirpath, _dirs, files in os.walk(root):
+        if name in files:
+            hits.append(os.path.join(dirpath, name))
+    return hits
+
+
+def test_preprocess_then_infset(tmp_path, assort_path, monkeypatch):
+    """-preprocess writes the reference-layout neighbors.bin; a following
+    -infset (FastAMM) run consumes it (reference: src/network.cc:558-719,
+    src/fastamm.cc:548-672)."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4",
+               "-preprocess", "-label", "pp"])
+    assert rc == 0
+    bins = _find_file(tmp_path, "neighbors.bin")
+    assert len(bins) == 1
+    # binary layout: per node uint32 id, uint64 count, uint32[count]
+    raw = open(bins[0], "rb").read()
+    node0 = np.frombuffer(raw, np.uint32, 1, 0)[0]
+    cnt0 = np.frombuffer(raw, np.uint64, 1, 4)[0]
+    assert node0 == 0 and 0 < cnt0 <= 100
+
+    shutil.copy(bins[0], tmp_path / "neighbors.bin")
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4", "-infset",
+               "-label", "ia", "-max-iterations", "30", "-no-stop",
+               "-rfreq", "30", "-seed", "1"])
+    assert rc == 0
+    gammas = _find_file(tmp_path / "n75-k4-ia-seed1-infset", "gamma.txt")
+    assert len(gammas) == 1
+    rows = open(gammas[0]).readlines()
+    assert len(rows) == 75
+    vals = np.array([r.split("\t")[2:] for r in rows], float)
+    assert np.isfinite(vals).all() and (vals > 0).all()
+
+
+def test_gml_after_linksampling(tmp_path, assort_path, monkeypatch):
+    """-gml loads gamma.txt/lambda.txt from the cwd and writes
+    network.gml with colored edges (reference: src/mmsbgen.cc:910-961)."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4",
+               "-link-sampling", "-label", "viz", "-max-iterations", "20",
+               "-no-stop", "-rfreq", "20", "-seed", "1"])
+    assert rc == 0
+    rundir = tmp_path / "n75-k4-viz-seed1-linksampling"
+    assert (rundir / "gamma.txt").exists()
+    monkeypatch.chdir(rundir)
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4", "-gml"])
+    assert rc == 0
+    gml = (rundir / "gml" / "network.gml").read_text()
+    assert gml.count("\tnode\n") == 75
+    assert gml.count("\tedge\n") > 0
+    assert "bridgeness" in gml and "influence" in gml
+
+    # -lcstats shares the gml prefix dir (reference: src/env.hh:568)
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4", "-lcstats"])
+    assert rc == 0
+    stats = _find_file(rundir / "gml", "community_stats.txt")
+    assert stats, "lcstats output missing"
+    assert len(open(stats[0]).readlines()) == 4   # one row per community
+
+
+def test_gen_then_ppc(tmp_path, monkeypatch):
+    """-gen draws an a-MMSB network; a short fit on it then -ppc from the
+    run dir produces replicated-draw z-scores
+    (reference: src/mmsbgen.cc:43-178)."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["-n", "60", "-k", "3", "-gen", "-seed", "2"])
+    assert rc == 0
+    gen_nets = _find_file(tmp_path, "network_gen.dat")
+    assert len(gen_nets) == 1
+    netfile = gen_nets[0]
+    n_edges = len(open(netfile).readlines())
+    assert n_edges > 30
+
+    rc = main(["-file", netfile, "-n", "60", "-k", "3", "-link-sampling",
+               "-label", "fit", "-max-iterations", "20", "-no-stop",
+               "-rfreq", "20", "-seed", "1"])
+    assert rc == 0
+    rundirs = [p for p in tmp_path.iterdir()
+               if p.is_dir() and "fit" in p.name]
+    assert len(rundirs) == 1
+    monkeypatch.chdir(rundirs[0])
+    rc = main(["-file", netfile, "-n", "60", "-k", "3", "-ppc",
+               "-seed", "1"])
+    assert rc == 0
+    z = rundirs[0] / "ppc" / "zscores.txt"
+    assert z.exists(), "ppc zscores.txt missing"
+    txt = z.read_text()
+    assert txt.strip(), "ppc output empty"
+    vals = [float(t) for t in txt.split() if _is_float(t)]
+    assert vals and all(np.isfinite(v) for v in vals)
+
+
+def _is_float(t):
+    try:
+        float(t)
+        return True
+    except ValueError:
+        return False
