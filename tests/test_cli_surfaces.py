@@ -112,3 +112,35 @@ def _is_float(t):
         return True
     except ValueError:
         return False
+
+
+def test_load_validation_fixed_split(tmp_path, assort_path, monkeypatch):
+    """-load-validation pins the heldout split to a pair file; the pairs
+    must form the validation set verbatim and be excluded from training
+    (reference: src/linksampling.cc:1382-1418)."""
+    monkeypatch.chdir(tmp_path)
+    edges = np.array([l.split() for l in open(assort_path)
+                      if l.strip()], np.int64)
+    chosen = edges[:: len(edges) // 10][:10]          # 10 link pairs
+    pf = tmp_path / "val-pairs.txt"
+    with open(pf, "w") as f:
+        for p, q in chosen:
+            f.write(f"{p}\t{q}\n")
+
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4",
+               "-link-sampling", "-label", "lv", "-max-iterations", "10",
+               "-no-stop", "-rfreq", "10", "-seed", "1",
+               "-load-validation", str(pf)])
+    assert rc == 0
+    rundir = tmp_path / "n75-k4-lv-seed1-linksampling"
+    val = np.array([l.split()[:2] for l in
+                    open(rundir / "validation-edges.txt") if l.strip()],
+                   np.int64)
+    want = {tuple(sorted(map(int, e))) for e in chosen}
+    got = {tuple(sorted(map(int, e))) for e in val}
+    assert got == want
+    train = np.array([l.split()[:2] for l in
+                      open(rundir / "training-edges.txt") if l.strip()],
+                     np.int64)
+    train_set = {tuple(sorted(map(int, e))) for e in train}
+    assert not (train_set & want), "heldout pairs leaked into training"
