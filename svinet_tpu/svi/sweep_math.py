@@ -63,7 +63,14 @@ def mean_indicator_update(gacc, sumk, deg, consts: LSConsts, annealing
     Returns (gnext, mphi, s1, s2, lam0)."""
     gnext = consts.alpha + gacc
     lam0 = consts.eta[0] + sumk
-    degc = deg[:, None]
+    # The reference counts each undirected link under BOTH endpoints when
+    # filling _training_links (the adjacency loop visits every edge twice,
+    # src/linksampling.cc:500-514), so its per-node count is 2*deg. The
+    # mean indicator is gamma_hat/(2 deg) and the nonlink expectation uses
+    # (n - 2 deg - 1). This halved correction is load-bearing for the
+    # bundled golden runs (E[beta]~0.89, LFR nshol -0.111); with plain deg
+    # the fit lands at E[beta]~0.71, nshol -0.122.
+    degc = 2.0 * deg[:, None]
     has_links = degc > 0
     mphi = jnp.where(has_links, gacc / jnp.maximum(degc, 1.0), 0.0)
     s1 = mphi.sum(axis=0)
