@@ -30,15 +30,18 @@ def test_lfr_linksampling_nmi_parity(tmp_path, lfr_paths, seed, monkeypatch):
     eng = LinkSampling(cfg, net)
     eng.infer()
 
-    # NMI parity: reference mutual.txt records 0.897 final / 0.904 best
+    # NMI parity: reference mutual.txt records 0.897 final / 0.904 best;
+    # with the 2x training-link-count semantics this implementation lands
+    # at ~0.96 across seeds
     nmis = [float(line.split()[-1])
             for line in open(cfg.file_str("mutual.txt"))]
-    assert max(nmis) >= 0.85, f"NMI too low: {max(nmis)}"
+    assert max(nmis) >= 0.93, f"NMI too low: {max(nmis)}"
 
-    # heldout nshol parity: reference max.txt records -0.1110
-    last = open(cfg.file_str("validation.txt")).readlines()[-1].split()
-    nshol = float(last[-1])
-    assert -0.15 < nshol < -0.08, f"nshol out of range: {nshol}"
+    # heldout nshol parity: reference max.txt records -0.1110; ours
+    # reaches -0.1107 (max.txt col 5) before the plateau stop
+    maxrow = open(cfg.file_str("max.txt")).read().split()
+    best_nshol = float(maxrow[4])
+    assert -0.125 < best_nshol < -0.10, f"nshol out of range: {best_nshol}"
 
 
 def test_assort_batch_likelihood_parity(tmp_path, assort_path, monkeypatch):
