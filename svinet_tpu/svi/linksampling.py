@@ -49,6 +49,12 @@ from svinet_tpu.io.writers import load_model
 
 def _sweep_body(gamma, lam, edges, mask, deg, consts: LSConsts,
                 annealing, num_blocks: int):
+    # NOTE on converged-node freezing (reference fast path,
+    # src/linksampling.cc:618-631): implemented as the optional `conv`
+    # argument of phi_pass/s3_pass (see converged_of) and measured on the
+    # v5e — it makes the sweep ~2x slower (two extra int row-gathers per
+    # edge at the gather-rate bound) AND worsens ca-AstroPh heldout nshol
+    # (-0.0099 vs -0.0088), so the dense path stays the default.
     elogpi = dirichlet_expectation(gamma)
     elogbeta = dirichlet_expectation(lam)
     gacc, sumk = phi_pass(elogpi, elogbeta[:, 0], edges, mask, num_blocks)

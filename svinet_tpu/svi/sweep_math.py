@@ -27,9 +27,25 @@ class LSConsts(NamedTuple):
     n_nodes: jax.Array     # scalar: n (float)
 
 
-def phi_pass(elogpi, elb0, edges, mask, num_blocks: int
+def converged_of(gamma, alpha) -> jax.Array:
+    """Per-node convergence flag: a node with EXACTLY one community where
+    gamma - alpha >= 1 is frozen to it (reference: check_and_set_converged,
+    src/linksampling.cc:456-475). Returns int32 (n,): 0 = not converged,
+    else community index + 1."""
+    active = gamma - alpha >= 1.0
+    count = active.sum(axis=-1)
+    kidx = jnp.argmax(active, axis=-1).astype(jnp.int32)
+    return jnp.where(count == 1, kidx + 1, 0)
+
+
+def phi_pass(elogpi, elb0, edges, mask, num_blocks: int, conv=None
              ) -> Tuple[jax.Array, jax.Array]:
     """Blocked sweep over (a shard of) the training links.
+
+    conv: optional (n,) int32 converged flags; pairs with exactly one
+    frozen endpoint contribute a hard one-hot with weight 1 to both
+    endpoints instead of the soft phi (reference fast path,
+    src/linksampling.cc:618-631).
 
     Returns (gacc (n,K): sum of phi scattered to both endpoints,
              sumk (K,): 2*sum of phi)."""
@@ -42,7 +58,14 @@ def phi_pass(elogpi, elb0, edges, mask, num_blocks: int
         e, m = blk
         p, q = e[:, 0], e[:, 1]
         logits = elogpi[p] + elogpi[q] + elb0
-        phi = jax.nn.softmax(logits, axis=-1) * m[:, None]
+        phi = jax.nn.softmax(logits, axis=-1)
+        if conv is not None:
+            cp, cq = conv[p], conv[q]
+            one_sided = (cp > 0) ^ (cq > 0)
+            k_hard = jnp.maximum(cp, cq) - 1
+            hard = jax.nn.one_hot(k_hard, k, dtype=phi.dtype)
+            phi = jnp.where(one_sided[:, None], hard, phi)
+        phi = phi * m[:, None]
         gacc = gacc.at[p].add(phi)
         gacc = gacc.at[q].add(phi)
         sumk = sumk + 2.0 * phi.sum(axis=0)
@@ -82,15 +105,28 @@ def mean_indicator_update(gacc, sumk, deg, consts: LSConsts, annealing
     return gnext, mphi, s1, s2, lam0
 
 
-def s3_pass(mphi, edges, mask, num_blocks: int) -> jax.Array:
-    """Cross-moment sum over (a shard of) the links: s3_k = sum mphi_p mphi_q."""
+def s3_pass(mphi, edges, mask, num_blocks: int, conv=None) -> jax.Array:
+    """Cross-moment sum over (a shard of) the links: s3_k = sum mphi_p mphi_q.
+
+    With conv, a pair with exactly one frozen endpoint contributes only the
+    other endpoint's indicator at the frozen community
+    (reference: src/linksampling.cc:735-746)."""
     k = mphi.shape[1]
     e_blocks = edges.reshape(num_blocks, -1, 2)
     m_blocks = mask.reshape(num_blocks, -1)
 
     def block(s3, blk):
         e, m = blk
-        s3 = s3 + (mphi[e[:, 0]] * mphi[e[:, 1]] * m[:, None]).sum(axis=0)
+        p, q = e[:, 0], e[:, 1]
+        contrib = mphi[p] * mphi[q]
+        if conv is not None:
+            cp, cq = conv[p], conv[q]
+            one_sided = (cp > 0) ^ (cq > 0)
+            k_hard = jnp.maximum(cp, cq) - 1
+            hard = jax.nn.one_hot(k_hard, k, dtype=contrib.dtype)
+            other = jnp.where((cp > 0)[:, None], mphi[q], mphi[p])
+            contrib = jnp.where(one_sided[:, None], hard * other, contrib)
+        s3 = s3 + (contrib * m[:, None]).sum(axis=0)
         return s3, None
 
     s3, _ = jax.lax.scan(block, jnp.zeros((k,), mphi.dtype),

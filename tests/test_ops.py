@@ -100,3 +100,47 @@ def test_pallas_dirichlet_expectation_matches_dense():
     got = np.asarray(dirichlet_expectation_pallas(jnp.asarray(x)))
     want = np.asarray(dirichlet_expectation(jnp.asarray(x)))
     assert np.abs(got - want).max() < 3e-5
+
+
+def test_converged_of_flags():
+    """Exactly one community with gamma-alpha >= 1 freezes the node
+    (reference: check_and_set_converged, src/linksampling.cc:456-475)."""
+    from svinet_tpu.svi.sweep_math import converged_of
+    alpha = 0.25
+    gamma = jnp.asarray([
+        [5.0, 0.3, 0.3],    # one active -> frozen to k=0
+        [5.0, 4.0, 0.3],    # two active -> not frozen
+        [0.3, 0.3, 0.3],    # none active -> not frozen
+        [0.3, 0.3, 9.0],    # one active -> frozen to k=2
+    ], jnp.float32)
+    c = np.asarray(converged_of(gamma, jnp.float32(alpha)))
+    assert c.tolist() == [1, 0, 0, 3]
+
+
+def test_phi_pass_one_sided_freeze_hard_assigns():
+    """A pair with exactly ONE frozen endpoint contributes a one-hot of
+    weight 1 to both endpoints; both-frozen and both-free pairs use the
+    soft phi (reference fast path, src/linksampling.cc:618-631)."""
+    from svinet_tpu.svi.sweep_math import phi_pass, converged_of
+    rng = np.random.default_rng(0)
+    n, k = 6, 3
+    alpha = 0.1
+    gamma = np.full((n, k), 0.5, np.float32)
+    gamma[0, 1] = 7.0                        # node 0 frozen to k=1
+    elogpi = rng.normal(size=(n, k)).astype(np.float32)
+    elb0 = rng.normal(size=(k,)).astype(np.float32)
+    edges = np.array([[0, 3], [4, 5]], np.int32)   # frozen-free, free-free
+    mask = np.ones(2, np.float32)
+    conv = converged_of(jnp.asarray(gamma), jnp.float32(alpha))
+    gacc, sumk = phi_pass(jnp.asarray(elogpi), jnp.asarray(elb0),
+                          jnp.asarray(edges), jnp.asarray(mask), 1, conv)
+    gacc = np.asarray(gacc)
+    # edge (0,3): hard one-hot at k=1 on both endpoints
+    np.testing.assert_allclose(gacc[0], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(gacc[3], [0, 1, 0], atol=1e-6)
+    # edge (4,5): plain softmax
+    want = np.exp(elogpi[4] + elogpi[5] + elb0)
+    want /= want.sum()
+    np.testing.assert_allclose(gacc[4], want, atol=1e-5)
+    np.testing.assert_allclose(gacc[5], want, atol=1e-5)
+    assert float(sumk.sum()) == pytest.approx(4.0, abs=1e-5)
