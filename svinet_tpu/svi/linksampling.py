@@ -201,11 +201,44 @@ class LinkSampling(EngineBase):
                                     self.cfg.epsilon)
                 rf.write(self.iteration, self.duration(), res,
                          self.cfg.zeros_prob, self.cfg.ones_prob)
+        if self.annealing:
+            h = getattr(self, "_anneal_hist", [])
+            h.append(self.stopper.prev_h)     # prev_h = this report's nshol
+            self._anneal_hist = h[-3:]
         if self.annealing and self._last_stop_raw:
-            self.annealing = False
-            self.stopper.reset_after_annealing()
+            # The reference ends annealing at the FIRST stop signal
+            # (src/linksampling.cc:1036-1043) — either the relative
+            # plateau (why=100) or 3 consecutive declines (why=1). In
+            # float32 the nshol trace wobbles at the 1e-5 level mid-
+            # descent, so the declines rule fires ~50 iterations before
+            # the double-precision reference's does and annealing exits
+            # far too early (iter ~27 vs ~80 on ca-AstroPh, costing
+            # ~8% heldout likelihood). Only the plateau criterion ends
+            # annealing here; dips just reset the decline counter.
+            genuine_plateau = (self.stopper.why == 100
+                               and self._anneal_plateau())
+            if genuine_plateau or self.iteration >= 1000:  # runaway backstop
+                self.annealing = False
+                self.stopper.reset_after_annealing()
+                self.log(f"annealing ended at iteration {self.iteration}")
+            else:
+                self.stopper.nh = 0
             return False
         return stop
+
+    def _anneal_plateau(self) -> bool:
+        """Second-level plateau check for the annealing exit: f32 nshol
+        improvements stall near the 1e-5 threshold well before the run
+        has genuinely flattened, so require the 10x tighter 1e-6 relative
+        change sustained over the LAST TWO reports before leaving the
+        annealing phase."""
+        h = getattr(self, "_anneal_hist", [])
+        if len(h) < 3:
+            return False
+        a, b, c = h
+        if a == 0 or b == 0:
+            return False
+        return abs((c - b) / b) < 1e-6 and abs((b - a) / a) < 1e-6
 
     def _log_convergence(self) -> None:
         """Per-node convergence stats: a node is converged when exactly one
