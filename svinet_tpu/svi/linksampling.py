@@ -229,16 +229,18 @@ class LinkSampling(EngineBase):
     def _anneal_plateau(self) -> bool:
         """Second-level plateau check for the annealing exit: f32 nshol
         improvements stall near the 1e-5 threshold well before the run
-        has genuinely flattened, so require the 10x tighter 1e-6 relative
-        change sustained over the LAST TWO reports before leaving the
-        annealing phase."""
+        has genuinely flattened, so require a 1e-6 PER-ITERATION relative
+        change sustained over the last two reports before leaving the
+        annealing phase (the threshold scales with -rfreq, since a report
+        interval spans reportfreq sweeps of progress)."""
         h = getattr(self, "_anneal_hist", [])
         if len(h) < 3:
             return False
         a, b, c = h
         if a == 0 or b == 0:
             return False
-        return abs((c - b) / b) < 1e-6 and abs((b - a) / a) < 1e-6
+        thresh = 1e-6 * max(1, self.cfg.reportfreq)
+        return abs((c - b) / b) < thresh and abs((b - a) / a) < thresh
 
     def _log_convergence(self) -> None:
         """Per-node convergence stats: a node is converged when exactly one
