@@ -16,6 +16,15 @@ itself crosses zero) — well inside the model's meanchangethresh.
 The kernel tiles a flattened, 128-padded view of the input; the public
 dirichlet_expectation_pallas wraps it into E[log p] = psi(x) - psi(rowsum).
 Falls back to jax.scipy on non-TPU backends (interpret mode in tests).
+
+Measured on the v5e (2026-08) against the XLA path
+(ops/expectations.py, jax.scipy digamma — one fused elementwise kernel):
+  (17903, 20):    XLA 1.03 ms  | this kernel 1.13 ms
+  (100k, 500):    XLA 5.18 ms  | this kernel 7.43 ms
+  (1M, 500):      XLA 43.9 ms  | this kernel 65.8 ms
+XLA fuses psi(x) - psi(rowsum) into a single HBM pass while this wrapper
+pays an extra padded copy, so the engines use the XLA path; the kernel is
+kept as the reference Pallas implementation and regression test target.
 """
 
 from __future__ import annotations
