@@ -159,4 +159,92 @@ int svinet_write_edges_tsv(const char* path, const int64_t* edges,
   return ok ? 0 : -1;
 }
 
+// -preprocess: per-node "informative zeros" via the reference's 2-hop walk
+// (reference: Network::set_neighborhood_sets, src/network.cc:558-686):
+// round-robin over node i's neighbors, taking up to `per_neighbor` unseen
+// 2-hop nodes from each per cycle, until `limit` zeros are collected or
+// every neighbor's adjacency is exhausted. Parallel over nodes with
+// per-thread visit-stamp arrays; results written to `path` in the
+// reference's binary layout (uint32 node, uint64 count, uint32[count]).
+// Exactly matches the Python fallback's output ordering.
+int svinet_preprocess_neighbors(const char* path, const int64_t* row_ptr,
+                                const int32_t* col_idx, int64_t n,
+                                int limit, int per_neighbor, int nthreads) {
+  int t = nthreads > 0 ? nthreads
+                       : static_cast<int>(std::thread::hardware_concurrency());
+  if (t < 1) t = 1;
+  if (n < 1024) t = 1;
+
+  std::vector<std::vector<uint32_t>> zeros(static_cast<size_t>(n));
+
+  auto worker = [&](int64_t lo, int64_t hi) {
+    std::vector<uint32_t> stamp(static_cast<size_t>(n), 0);
+    uint32_t cur = 0;
+    std::vector<int64_t> pos;
+    std::vector<uint8_t> exhausted;
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t b = row_ptr[i], e = row_ptr[i + 1];
+      int64_t deg = e - b;
+      if (deg == 0) continue;
+      ++cur;
+      stamp[static_cast<size_t>(i)] = cur;
+      for (int64_t r = b; r < e; ++r)
+        stamp[static_cast<size_t>(col_idx[r])] = cur;
+      pos.assign(static_cast<size_t>(deg), 0);
+      exhausted.assign(static_cast<size_t>(deg), 0);
+      for (int64_t j = 0; j < deg; ++j)
+        pos[static_cast<size_t>(j)] = row_ptr[col_idx[b + j]];
+      auto& out = zeros[static_cast<size_t>(i)];
+      out.reserve(static_cast<size_t>(limit));
+      int64_t n_exhausted = 0;
+      while (static_cast<int>(out.size()) < limit && n_exhausted < deg) {
+        for (int64_t j = 0; j < deg; ++j) {
+          if (exhausted[static_cast<size_t>(j)] ||
+              static_cast<int>(out.size()) >= limit)
+            continue;
+          int32_t q = col_idx[b + j];
+          int64_t qe = row_ptr[q + 1];
+          int c = 0;
+          int64_t& k = pos[static_cast<size_t>(j)];
+          while (k < qe && static_cast<int>(out.size()) < limit) {
+            int32_t p = col_idx[k++];
+            if (stamp[static_cast<size_t>(p)] != cur) {
+              out.push_back(static_cast<uint32_t>(p));
+              stamp[static_cast<size_t>(p)] = cur;
+              if (++c >= per_neighbor) break;
+            }
+          }
+          if (k >= qe) {
+            exhausted[static_cast<size_t>(j)] = 1;
+            ++n_exhausted;
+          }
+        }
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(t);
+  for (int i = 0; i < t; ++i) {
+    int64_t lo = (n * i) / t, hi = (n * (i + 1)) / t;
+    threads.emplace_back(worker, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+
+  FILE* f = fopen(path, "w");
+  if (!f) return -1;
+  std::vector<char> buf(1 << 22);
+  setvbuf(f, buf.data(), _IOFBF, buf.size());
+  bool ok = true;
+  for (int64_t i = 0; i < n && ok; ++i) {
+    uint32_t id = static_cast<uint32_t>(i);
+    uint64_t cnt = zeros[static_cast<size_t>(i)].size();
+    ok = fwrite(&id, 4, 1, f) == 1 && fwrite(&cnt, 8, 1, f) == 1;
+    if (ok && cnt)
+      ok = fwrite(zeros[static_cast<size_t>(i)].data(), 4, cnt, f) == cnt;
+  }
+  if (fclose(f) != 0) ok = false;
+  return ok ? 0 : -1;
+}
+
 }  // extern "C"

@@ -400,6 +400,16 @@ class Network:
         idx: List[int] = []
         cfg.make_outdir()
         path = cfg.file_str("neighbors.bin")
+        if not cfg.randzeros:
+            # parallel C++ walk (native/ingest.cpp) — same output bytes as
+            # the Python loop below; required at 1M-node scale
+            from svinet_tpu.io import native
+            if native.preprocess_neighbors(path, self.row_ptr, self.col_idx,
+                                           limit, per_neighbor):
+                self.load_neighborhood_sets(path)
+                print(f"+ wrote {path}: "
+                      f"{len(self.sparse_zeros_idx)} informative zeros")
+                return
         with open(path, "wb") as f:
             for i in range(self.n):
                 nbrs = self.neighbors(i)

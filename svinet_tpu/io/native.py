@@ -57,6 +57,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.svinet_write_edges_tsv.restype = ctypes.c_int
         lib.svinet_write_edges_tsv.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        if hasattr(lib, "svinet_preprocess_neighbors"):
+            lib.svinet_preprocess_neighbors.restype = ctypes.c_int
+            lib.svinet_preprocess_neighbors.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -99,6 +105,24 @@ def write_matrix_tsv(path: str, m: np.ndarray,
     rc = lib.svinet_write_matrix_tsv(
         path.encode(), m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n, k, ids, decimals)
+    return rc == 0
+
+
+def preprocess_neighbors(path: str, row_ptr: np.ndarray, col_idx: np.ndarray,
+                         limit: int = 100, per_neighbor: int = 10,
+                         nthreads: int = 0) -> bool:
+    """Write neighbors.bin (reference binary layout) via the parallel C++
+    2-hop walk; returns False if the native library is unavailable or
+    lacks the symbol (caller falls back to the Python walk)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "svinet_preprocess_neighbors"):
+        return False
+    rp = np.ascontiguousarray(row_ptr, np.int64)
+    ci = np.ascontiguousarray(col_idx, np.int32)
+    rc = lib.svinet_preprocess_neighbors(
+        path.encode(), rp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(rp) - 1, limit, per_neighbor, nthreads)
     return rc == 0
 
 

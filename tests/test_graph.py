@@ -127,3 +127,32 @@ def test_strid_ingest(tmp_path):
     net.read(str(p))
     assert net.n == 3 and net.ones == 3
     assert net.str_ids == ["alice", "bob", "carol"]
+
+
+def test_native_preprocess_matches_python(tmp_path, assort_path):
+    """The parallel C++ 2-hop preprocessor (native/ingest.cpp) writes
+    byte-identical neighbors.bin to the Python walk
+    (reference: Network::set_neighborhood_sets, src/network.cc:558-686)."""
+    import svinet_tpu.io.native as nat
+    if not nat.have_native():
+        pytest.skip("native library unavailable")
+    cfg = Config(n=75, k=4, outdir=str(tmp_path / "a"))
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    p_native = str(tmp_path / "nb_native.bin")
+    assert nat.preprocess_neighbors(p_native, net.row_ptr, net.col_idx)
+
+    cfg2 = Config(n=75, k=4, outdir=str(tmp_path / "b"))
+    cfg2.resolve()
+    net2 = Network(cfg2)
+    net2.read(assort_path)
+    orig = nat.preprocess_neighbors
+    nat.preprocess_neighbors = lambda *a, **k: False   # force Python path
+    try:
+        net2.set_neighborhood_sets(cfg2)
+    finally:
+        nat.preprocess_neighbors = orig
+    a = open(p_native, "rb").read()
+    b = open(cfg2.file_str("neighbors.bin"), "rb").read()
+    assert a == b
