@@ -32,6 +32,11 @@ read-back completion barrier (block_until_ready lies through the tunnel).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 import time
 
