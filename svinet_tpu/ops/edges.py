@@ -25,7 +25,7 @@ def pad_edges(edges: np.ndarray, block: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def choose_edge_block(n_edges: int, k: int,
-                      vmem_budget_bytes: int = 256 * 1024 * 1024) -> int:
+                      vmem_budget_bytes: int = 1024 * 1024 * 1024) -> int:
     """Pick the edge-block size for the sweep scan.
 
     Measured on TPU v5e (ca-AstroPh, K=20): one flat gather-softmax-scatter
@@ -33,6 +33,12 @@ def choose_edge_block(n_edges: int, k: int,
     compiler could overlap. So: run FLAT whenever the per-block phi
     intermediate (block * K * 4 bytes) fits the budget, and fall back to
     the largest power-of-two block that does for huge edge sets.
+
+    Budget: measured on the n=1M/K=500/E=20M stretch config (v5e, 16G HBM),
+    bigger blocks keep winning until HBM runs out — 131072-edge blocks
+    (256M budget) sweep at 4.1 Me/s, 524288 (1G) at 6.1, 1048576 (2G) at
+    6.5, and 2097152 OOMs next to the 3 * n * K state arrays. 1G is the
+    sweet spot with headroom for the fused multi-sweep path.
     """
     limit = max(8192, vmem_budget_bytes // max(k * 4, 4))
     if n_edges <= limit:
