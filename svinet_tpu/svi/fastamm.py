@@ -130,12 +130,25 @@ class FastAMM(EngineBase):
         self._nodec = np.zeros(n, np.int64)
         self._shuffled = self.rng.permutation(n)
         self._lambda_start_iter = 0
+        # cmap.txt: per-report mean/stdev of sampled neighborhood-set
+        # sizes (reference: src/fastamm.cc:223-227, 636-640)
+        self._nbr_sizes: list = []
+        self._cmapf = open(cfg.file_str("cmap.txt"), "w")
         # fixed padded batch size: max informative set or noninf set
         max_deg = int(network.training_deg.max()) if n else 0
         self._pad = 1 << int(np.ceil(np.log2(
             max(max_deg + 100 + 1, NONINF_SETSIZE, 64))))
 
     # ------------------------------------------------------------------
+    def report(self) -> bool:
+        stop = super().report()
+        sizes = self._nbr_sizes or [0]
+        self._cmapf.write(f"{self.iteration}\t{self.duration()}\t"
+                          f"{np.mean(sizes):.5f}\t{np.std(sizes):.5f}\n")
+        self._cmapf.flush()
+        self._nbr_sizes = []
+        return stop
+
     def _edge_ok(self, lo, hi) -> np.ndarray:
         return self.network.edge_ok_mask(lo, hi)
 
@@ -151,6 +164,7 @@ class FastAMM(EngineBase):
         ok = self._edge_ok(lo, hi) & (others != r)
         pairs = np.stack([lo[ok], hi[ok]], 1)
         nodes = [r] + [int(x) for x in others[ok]]
+        self._nbr_sizes.append(int(ok.sum()))
         return pairs.astype(np.int32), ys[ok], nodes
 
     def _noninf_sample(self) -> Tuple[np.ndarray, np.ndarray, list]:
