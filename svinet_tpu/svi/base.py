@@ -202,6 +202,16 @@ class EngineBase:
             trres = heldout_stats(self.gamma, self.lam, tp, ty, cfg.epsilon)
             self._trf.write(self.iteration, self.duration(), trres,
                             cfg.zeros_prob, cfg.ones_prob)
+            # stats.txt: the reference's 7-column training-likelihood trace
+            # (iter, dur, avg, avg_links, avg_nonlinks, n_links, n_nonlinks;
+            # reference: src/mmsbinfer.cc:2366, src/fastamm.cc:1720)
+            if not hasattr(self, "_statsf"):
+                self._statsf = open(cfg.file_str("stats.txt"), "w")
+            self._statsf.write(
+                f"{self.iteration}\t{self.duration()}\t{trres.avg:.5f}\t"
+                f"{trres.avg1:.5f}\t{trres.avg0:.5f}\t{trres.count1}\t"
+                f"{trres.count0}\n")
+            self._statsf.flush()
         self.log("iteration %d: validation nshol %.5f",
                  self.iteration, nshol)
 
