@@ -87,9 +87,25 @@ class EngineBase:
                     f.write(f"{int(p)}\t{int(q)}\n")
 
         if network.ground_truth is not None:
-            with open(cfg.file_str("ground_truth_stats.txt"), "w") as f:
-                for ci, comm in enumerate(network.ground_truth):
-                    f.write(f"{ci}\t{len(comm)}\n")
+            # both names: ours + the reference's
+            # (reference: src/network.cc:253-438 gt loaders)
+            for fname in ("ground_truth_stats.txt",
+                          "ground_truth_community_sizes.txt"):
+                with open(cfg.file_str(fname), "w") as f:
+                    for ci, comm in enumerate(network.ground_truth):
+                        f.write(f"{ci}\t{len(comm)}\n")
+
+        if len(network.precision_pairs):
+            write_edgelist(cfg.file_str("precision-edges.txt"),
+                           network.precision_pairs, network.precision_y,
+                           network.seq2id)
+
+        if getattr(network, "str_ids", None):
+            # -strid: string <-> compact-id mapping
+            # (reference: src/network.cc:131-141)
+            with open(cfg.file_str("str2id.txt"), "w") as f:
+                for i, s in enumerate(network.str_ids):
+                    f.write(f"{s}\t{i}\n")
 
         self.n, self.k = network.n, cfg.k
         self.val_pairs = jnp.asarray(network.validation_pairs)
@@ -234,6 +250,22 @@ class EngineBase:
             self.n, self.k, cfg.link_thresh, cfg.lt_min_deg)
         write_communities(cfg.file_str("communities.txt"),
                           self._communities, self.network.seq2id)
+        # mcount.txt (seq, ext-id, #memberships per node) + aggregate.txt
+        # (membership count -> #nodes histogram)
+        # (reference: src/fastamm.cc:734-735, 826, 858-882)
+        mcount = np.zeros(self.n, np.int64)
+        for comm in self._communities.values():
+            for node in set(comm):
+                mcount[node] += 1
+        with open(cfg.file_str("mcount.txt"), "w") as f:
+            for i in np.nonzero(mcount)[0]:
+                f.write(f"{i}\t{int(self.network.seq2id[i])}\t"
+                        f"{int(mcount[i])}\n")
+        with open(cfg.file_str("aggregate.txt"), "w") as f:
+            vals, counts = np.unique(mcount[mcount > 0],
+                                     return_counts=True)
+            for v, c in zip(vals, counts):
+                f.write(f"{int(v)}\t{int(c)}\n")
         if self._mutual is not None:
             ours = read_cover_file(cfg.file_str("communities.txt"))
             gt = read_cover_file(cfg.file_str("ground_truth.txt"))

@@ -344,6 +344,12 @@ class MMSBGen:
                 f.write(f"\t\tcolor {c}\n")
                 f.write("\t]\n")
             f.write("]\n")
+        # uncolored-links.txt: edges below the 0.9 coloring threshold
+        # (reference: MMSBGen::gml, src/mmsbgen.cc:910-961)
+        with open(cfg.file_str("uncolored-links.txt"), "w") as f:
+            for (p, q), m in zip(net.edges, mx):
+                if m < 0.9:
+                    f.write(f"{int(net.seq2id[p])}\t{int(net.seq2id[q])}\n")
         # node_bridgeness.txt / node_influence.txt side files
         with open(cfg.file_str("node_bridgeness.txt"), "w") as f:
             for i in range(self.n):
