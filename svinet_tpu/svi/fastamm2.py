@@ -162,10 +162,14 @@ class FastAMM2(EngineBase):
             return
         scores = adamic_adar_scores(self.network, self.precision_pairs)
         c10, c100, c1000, cum = precision_counts(scores, self.precision_y)
-        with open(self.cfg.file_str("adamic-adar.txt"), "w") as f:
-            f.write(f"{c10}\t{c100}\t{c1000}\t"
-                    f"{auc(scores, self.precision_y):.5f}\n")
-        write_hitcurve(self.cfg.file_str("hitcurve_adamic_adar.txt"), cum)
+        # reference file names/schemas: adamic_adar.txt "c10 c100 c1000"
+        # (cumulative) and ad_hitcurve.txt (src/fastamm2.cc:1506, 1581-1588)
+        with open(self.cfg.file_str("adamic_adar.txt"), "w") as f:
+            f.write(f"{c10}\t{c100}\t{c1000}\n")
+        write_hitcurve(self.cfg.file_str("ad_hitcurve.txt"), cum)
+        # extra: rank-sum AUC of the baseline (not in the reference)
+        with open(self.cfg.file_str("adamic-adar-auc.txt"), "w") as f:
+            f.write(f"{auc(scores, self.precision_y):.5f}\n")
 
     def report(self) -> bool:
         stop = super().report()

@@ -152,7 +152,8 @@ def test_fastamm2_runs_with_precision(tmp_path, assort_path):
     # precision machinery produced its files
     import os
     assert os.path.exists(cfg.file_str("precision.txt"))
-    assert os.path.exists(cfg.file_str("adamic-adar.txt"))
+    assert os.path.exists(cfg.file_str("adamic_adar.txt"))
+    assert os.path.exists(cfg.file_str("ad_hitcurve.txt"))
 
 
 def test_checkpoint_roundtrip(tmp_path, assort_path):
