@@ -158,9 +158,13 @@ class LinkSampling(EngineBase):
                 write_edgelist(cfg.file_str(f"{name}-test-pairs.txt"),
                                pairs, ys, network.seq2id)
                 cfg.plog(f"loaded {name} test pairs:", len(pairs))
+                # per-report trace named as the reference's
+                # uniform-hol.txt / biased-hol.txt
+                # (reference: src/linksampling.cc:1056-1074)
                 self._test_sets.append(
-                    (jnp.asarray(pairs), jnp.asarray(ys.astype(np.int32)),
-                     ReportFile(cfg.file_str(f"{name}-test.txt"))))
+                    (name, jnp.asarray(pairs),
+                     jnp.asarray(ys.astype(np.int32)),
+                     ReportFile(cfg.file_str(f"{name}-hol.txt"))))
 
         if cfg.resume and self.try_restore():
             print(f"+ resumed from checkpoint at iteration {self.iteration}")
@@ -196,11 +200,19 @@ class LinkSampling(EngineBase):
         self._log_convergence()
         if self._test_sets:
             from svinet_tpu.evals.likelihood import heldout_stats
-            for pairs, ys, rf in self._test_sets:
+            for name, pairs, ys, rf in self._test_sets:
                 res = heldout_stats(self.gamma, self.lam, pairs, ys,
                                     self.cfg.epsilon)
                 rf.write(self.iteration, self.duration(), res,
                          self.cfg.zeros_prob, self.cfg.ones_prob)
+                # {uniform,biased}_auc.txt: "y P(link)" rows for the set
+                # (reference: LinkSampling::biased_auc/uniform_auc,
+                # src/linksampling.cc:~1150)
+                from svinet_tpu.evals.likelihood import link_probs
+                probs = np.asarray(link_probs(self.gamma, self.lam, pairs))
+                with open(self.cfg.file_str(f"{name}_auc.txt"), "w") as f:
+                    for yy, u in zip(np.asarray(ys), probs):
+                        f.write(f"{int(yy)} {u:.3f}\n")
         if self.annealing:
             h = getattr(self, "_anneal_hist", [])
             h.append(self.stopper.prev_h)     # prev_h = this report's nshol

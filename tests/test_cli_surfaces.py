@@ -144,3 +144,32 @@ def test_load_validation_fixed_split(tmp_path, assort_path, monkeypatch):
                      np.int64)
     train_set = {tuple(sorted(map(int, e))) for e in train}
     assert not (train_set & want), "heldout pairs leaked into training"
+
+
+def test_load_test_sets_traces(tmp_path, assort_path, monkeypatch):
+    """-load-test-sets reads uniform/biased heldout pair files from the
+    cwd and writes per-report uniform-hol.txt/biased-hol.txt traces plus
+    {uniform,biased}_auc.txt score files
+    (reference: src/linksampling.cc:1056-1145)."""
+    monkeypatch.chdir(tmp_path)
+    edges = np.array([l.split() for l in open(assort_path)
+                      if l.strip()], np.int64)
+    for name, off in (("uniform", 0), ("biased", 5)):
+        with open(tmp_path / f"{name}-heldout-pairs.txt", "w") as f:
+            for p, q in edges[off:: len(edges) // 8][:8]:
+                f.write(f"{p}\t{q}\n")
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4",
+               "-link-sampling", "-label", "ts", "-max-iterations", "10",
+               "-no-stop", "-rfreq", "5", "-seed", "1",
+               "-load-test-sets"])
+    assert rc == 0
+    rundir = tmp_path / "n75-k4-ts-seed1-linksampling"
+    for name in ("uniform", "biased"):
+        rows = [l.split() for l in open(rundir / f"{name}-hol.txt")
+                if l.strip()]
+        assert len(rows) >= 2 and len(rows[0]) == 11
+        aucrows = [l.split() for l in open(rundir / f"{name}_auc.txt")
+                   if l.strip()]
+        assert len(aucrows) == 8
+        assert all(r[0] in ("0", "1") for r in aucrows)
+        assert all(0.0 <= float(r[1]) <= 1.0 for r in aucrows)
