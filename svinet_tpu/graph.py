@@ -241,6 +241,25 @@ class Network:
         self.ground_truth = [np.array(sorted(v), np.int64)
                              for _, v in sorted(comms.items())]
 
+    def load_init_communities(self, path: str) -> None:
+        """Load -init-communities: ONE COMMUNITY PER LINE of external node
+        ids (e.g. a previous run's communities.txt; reference:
+        Network::load_init_communities, src/network.cc:388-438). Stored as
+        per-seq-node membership lists in ``init_communities_seq``."""
+        members: List[List[int]] = [[] for _ in range(self.n)]
+        cid = 0
+        with open(path) as f:
+            for line in f:
+                toks = line.split()
+                if not toks:
+                    continue
+                for t in toks:
+                    node = int(t)
+                    if node in self.id2seq:
+                        members[self.id2seq[node]].append(cid)
+                cid += 1
+        self.init_communities_seq = members
+
     def write_gt_communities(self, path: str) -> None:
         """Write ground-truth communities as external ids, one community per
         line (reference: Network::write_gt_communities)."""

@@ -70,6 +70,20 @@ class FastAMM2(EngineBase):
         self.precision_pairs = network.precision_pairs
         self.precision_y = network.precision_y
 
+        # FastAMM2 names its split dumps *-pairs.txt rather than
+        # *-edges.txt (reference: src/fastamm2.cc:94-117)
+        from svinet_tpu.io.writers import write_edgelist
+        write_edgelist(cfg.file_str("heldout-pairs.txt"),
+                       network.validation_pairs, network.validation_y,
+                       network.seq2id)
+        write_edgelist(cfg.file_str("validation-pairs.txt"),
+                       network.validation_pairs, network.validation_y,
+                       network.seq2id)
+        if len(network.precision_pairs):
+            write_edgelist(cfg.file_str("precision-pairs.txt"),
+                           network.precision_pairs, network.precision_y,
+                           network.seq2id)
+
     def _edge_ok(self, lo, hi) -> np.ndarray:
         return self.network.edge_ok_mask(lo, hi)
 

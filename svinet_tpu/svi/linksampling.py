@@ -96,6 +96,22 @@ def linksampling_multi_sweep(gamma, lam, edges, mask, deg,
     return jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
 
 
+def init_gamma_from_communities(members, deg: np.ndarray, n: int, k: int,
+                                alpha: float) -> np.ndarray:
+    """-init-communities: gamma_p = alpha + deg_p * phi_p where phi_p is
+    the normalized membership vector (alpha everywhere + n/|memberships|
+    at each of p's initial communities; reference:
+    LinkSampling::init_gamma_external, src/linksampling.cc:403-453).
+    Community ids >= k are ignored (the reference logs and overruns)."""
+    phi = np.full((n, k), alpha)
+    for p, comms in enumerate(members):
+        cs = [c for c in comms if c < k]
+        if cs:
+            phi[p, cs] += float(n) / len(comms)
+    phi /= phi.sum(axis=1, keepdims=True)
+    return alpha + deg[:, None] * phi
+
+
 def init_gamma_from_links(rng: np.random.Generator, edges: np.ndarray,
                           n: int, k: int, alpha: float) -> np.ndarray:
     """Random per-link phi added to both endpoints
@@ -129,6 +145,17 @@ class LinkSampling(EngineBase):
 
         if cfg.model_load and cfg.gamma_location:
             g0, l0 = load_model(cfg.gamma_location, n, k, cfg.t)
+        elif cfg.use_init_communities and cfg.init_communities_fname:
+            network.load_init_communities(cfg.init_communities_fname)
+            with open(cfg.file_str("init_memberships.txt"), "w") as f:
+                for p, comms in enumerate(network.init_communities_seq):
+                    row = "\t".join(str(c) for c in comms)
+                    f.write(f"{int(network.seq2id[p])}\t{row}\n")
+            deg_all = (network.row_ptr[1:] - network.row_ptr[:-1]).astype(
+                np.float64)
+            g0 = init_gamma_from_communities(
+                network.init_communities_seq, deg_all, n, k, cfg.alpha)
+            l0 = np.tile([cfg.eta0, cfg.eta1], (k, 1))
         else:
             g0 = init_gamma_from_links(self.rng, network.edges, n, k,
                                        cfg.alpha)

@@ -173,3 +173,29 @@ def test_load_test_sets_traces(tmp_path, assort_path, monkeypatch):
         assert len(aucrows) == 8
         assert all(r[0] in ("0", "1") for r in aucrows)
         assert all(0.0 <= float(r[1]) <= 1.0 for r in aucrows)
+
+
+def test_init_communities_seed_run(tmp_path, assort_path, monkeypatch):
+    """-findk's communities.txt seeds a link-sampling run via
+    -init-communities (reference: Network::load_init_communities,
+    src/network.cc:388-438; LinkSampling::init_gamma_external,
+    src/linksampling.cc:403-453)."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["-file", assort_path, "-n", "75", "-k", "75", "-findk",
+               "-seed", "1", "-label", "fk"])
+    assert rc == 0
+    comm = next(tmp_path.glob("*findk*/communities.txt"))
+    k_est = len([l for l in open(comm) if l.strip()])
+    assert k_est == 4
+
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4",
+               "-link-sampling", "-label", "ic", "-seed", "1",
+               "-max-iterations", "20", "-no-stop", "-rfreq", "20",
+               "-init-communities", str(comm)])
+    assert rc == 0
+    rundir = tmp_path / "n75-k4-ic-seed1-linksampling"
+    im = [l.split() for l in open(rundir / "init_memberships.txt")
+          if l.strip()]
+    assert len(im) == 75
+    gam = [l.split() for l in open(rundir / "gamma.txt") if l.strip()]
+    assert len(gam) == 75
