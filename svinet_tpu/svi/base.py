@@ -228,6 +228,28 @@ class EngineBase:
                 f"{trres.avg1:.5f}\t{trres.avg0:.5f}\t{trres.count1}\t"
                 f"{trres.count0}\n")
             self._statsf.flush()
+            # -accuracy: done.txt marker on the first training-likelihood
+            # plateau, with the NMI appended when available
+            # (reference: src/fastamm.cc:1238-1255)
+            if cfg.accuracy and not getattr(self, "_done_written", False):
+                prev = getattr(self, "_prev_train_avg", 0.0)
+                a = trres.avg
+                if (prev != 0.0 and a > prev
+                        and abs((a - prev) / prev) < 1e-5):
+                    self._done_written = True
+                    with open(cfg.file_str("done.txt"), "w") as f:
+                        f.write(f"{self.iteration}\t{self.duration()}\t"
+                                f"{a:.5f}\n")
+                        if self._mutual is not None:
+                            from svinet_tpu.evals.nmi import (
+                                overlapping_nmi, read_cover_file)
+                            ours = read_cover_file(
+                                cfg.file_str("communities.txt"))
+                            gt = read_cover_file(
+                                cfg.file_str("ground_truth.txt"))
+                            f.write(f"mutual3:\t"
+                                    f"{overlapping_nmi(gt, ours):g}\n")
+                self._prev_train_avg = a
         self.log("iteration %d: validation nshol %.5f",
                  self.iteration, nshol)
 

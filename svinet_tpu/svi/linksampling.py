@@ -290,12 +290,22 @@ class LinkSampling(EngineBase):
         faster on TPU than the branchy fast path."""
         if not hasattr(self, "_convf"):
             self._convf = open(self.cfg.file_str("convergence.txt"), "w")
+            self._first_conv = np.zeros(self.n, np.int64)
         active = np.asarray(
             (self.gamma - self.consts.alpha >= 1.0).sum(axis=1))
-        conv = int((active == 1).sum())
+        is_conv = active == 1
+        newly = is_conv & (self._first_conv == 0)
+        self._first_conv[newly] = max(self.duration(), 1)
+        conv = int(is_conv.sum())
         self._convf.write(f"{self.iteration}\t{self.duration()}\t{conv}\t"
                           f"{conv / max(self.n, 1):.5f}\n")
         self._convf.flush()
+        # convergence_hosts.txt: per-node first-converged time
+        # (reference: MMSBInfer::hosts_conv, src/mmsbinfer.cc:754-790)
+        with open(self.cfg.file_str("convergence_hosts.txt"), "w") as f:
+            for i in np.nonzero(self._first_conv)[0]:
+                f.write(f"{i}\t{int(self.network.seq2id[i])}\t"
+                        f"{int(self._first_conv[i])}\n")
 
     def write_auc(self) -> None:
         """auc.txt: 'y score' rows over the heldout pairs + native AUC in
