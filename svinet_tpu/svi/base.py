@@ -161,9 +161,11 @@ class EngineBase:
             return None
         idx = self.rng.choice(len(net.training_links), size=m, replace=False)
         links = net.training_links[idx]
+        # dense tiny graphs can have fewer nonlink pairs than requested
         nonlinks = net._sample_nonlinks(self.rng, m)
         pairs = np.concatenate([links, nonlinks.astype(np.int32)], axis=0)
-        ys = np.concatenate([np.ones(m, np.int32), np.zeros(m, np.int32)])
+        ys = np.concatenate([np.ones(len(links), np.int32),
+                             np.zeros(len(nonlinks), np.int32)])
         return jnp.asarray(pairs), jnp.asarray(ys)
 
     # ------------------------------------------------------------------

@@ -251,3 +251,25 @@ def test_gen_then_infer_recovers_groups(tmp_path, monkeypatch):
         groups.setdefault(int(g), []).append(int(net.seq2id[seq]))
     nmi = overlapping_nmi(list(planted.values()), list(groups.values()))
     assert nmi > 0.5, nmi
+
+
+@pytest.mark.parametrize("case", ["k1", "singles", "dups"])
+def test_degenerate_graphs_run(tmp_path, monkeypatch, case):
+    """Tiny/degenerate inputs must not crash: k=1, padded missing nodes
+    (singles), duplicate edges + self-loops. Regression for the training
+    sample building mismatched y/pairs when a dense tiny graph has fewer
+    nonlink pairs than requested."""
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    if case == "k1":
+        content, args = "0\t1\n1\t2\n2\t0\n", ["-n", "3", "-k", "1"]
+    elif case == "singles":
+        content, args = "0\t1\n1\t2\n2\t0\n", ["-n", "5", "-k", "2"]
+    else:
+        content = "0\t1\n1\t0\n0\t0\n0\t1\n1\t2\n2\t3\n3\t0\n"
+        args = ["-n", "4", "-k", "2"]
+    f = tmp_path / "net.txt"
+    f.write_text(content)
+    rc = main(["-file", str(f), *args, "-link-sampling",
+               "-max-iterations", "3", "-no-stop", "-label", case])
+    assert rc == 0
