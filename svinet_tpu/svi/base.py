@@ -255,6 +255,15 @@ class EngineBase:
         self.log("iteration %d: validation nshol %.5f",
                  self.iteration, nshol)
 
+        # time.txt: per-report wall-clock trace; every reference engine
+        # opens it (e.g. src/mmsbinfer.cc:114, src/fastamm.cc:211).
+        # LinkSampling writes its own per-chunk rows instead.
+        if not getattr(self, "writes_own_timefile", False):
+            if not hasattr(self, "_timef"):
+                self._timef = open(cfg.file_str("time.txt"), "w")
+            self._timef.write(f"{self.iteration}\t{self.duration()}\n")
+            self._timef.flush()
+
         stop = self.stopper.update(self.iteration, nshol)
         self._last_stop_raw = stop
         write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),

@@ -131,6 +131,8 @@ class LinkSampling(EngineBase):
     """Host driver: owns the annealing phase and the device state; file
     output, stopping, and community logging live in EngineBase."""
 
+    writes_own_timefile = True   # per-chunk rows in _infer_loop
+
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):
         super().__init__(cfg, network, rng)
