@@ -47,6 +47,7 @@ svinet [OPTIONS]
 \t-eta-type <t>\tuniform | fromdata | sparse | dense
 \t-heldout-ratio <r>\tfraction of links held out
 \t-label <s>\ttag output directory
+\t-mesh <N>\tshard the link-sampling sweep across N devices
 """
 
 
@@ -94,6 +95,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.orig = True
         elif a == "-itype":
             cfg.itype = int(nxt())
+        elif a == "-mesh":
+            cfg.mesh_devices = int(nxt())
         elif a == "-infset":
             cfg.informative_sampling = True
         elif a == "-preprocess":

@@ -116,6 +116,8 @@ class Config:
     # --- TPU execution -----------------------------------------------------
     num_devices: int = 0            # 0 = all visible devices
     edge_block: int = 8192          # padding granularity for edge arrays
+    mesh_devices: int = 0           # -mesh N: data-parallel link-sampling
+                                    # over N devices (0 = single device)
     dtype: str = "float32"
     checkpoint_freq: float = 0.0    # secs between native checkpoints (0=off)
     resume: bool = False            # resume from <outdir>/ckpt if present

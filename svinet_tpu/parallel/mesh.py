@@ -89,6 +89,50 @@ def make_sharded_sweep(mesh: Mesh, num_blocks_per_shard: int,
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
+def make_sharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
+                             axis: str = "edges") -> Callable:
+    """n_sweeps sharded sweeps fused into ONE device program: shard_map
+    around a lax.fori_loop whose body is the per-shard sweep with psum'd
+    sufficient statistics (collectives inside the loop ride ICI every
+    iteration; one host round trip per report interval)."""
+
+    @functools.lru_cache(maxsize=None)
+    def build(n_sweeps: int):
+        def _local(gamma, lam, edges, mask, deg, consts, annealing):
+            from svinet_tpu.ops.expectations import dirichlet_expectation
+
+            def body(_, state):
+                g, l = state
+                elogpi = dirichlet_expectation(g)
+                elogbeta = dirichlet_expectation(l)
+                gacc, sumk = phi_pass(elogpi, elogbeta[:, 0], edges, mask,
+                                      num_blocks_per_shard)
+                gacc = jax.lax.psum(gacc, axis)
+                sumk = jax.lax.psum(sumk, axis)
+                gnext, mphi, s1, s2, lam0 = mean_indicator_update(
+                    gacc, sumk, deg, consts, annealing)
+                s3 = jax.lax.psum(
+                    s3_pass(mphi, edges, mask, num_blocks_per_shard), axis)
+                return gnext, finish_lambda(s1, s2, s3, lam0, consts)
+
+            return jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
+
+        sharded = jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(),
+                      LSConsts(P(), P(), P(), P()), P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(sharded, donate_argnums=(0, 1))
+
+    def call(gamma, lam, edges, mask, deg, consts, annealing,
+             n_sweeps: int):
+        return build(int(n_sweeps))(gamma, lam, edges, mask, deg, consts,
+                                    annealing)
+
+    return call
+
+
 def device_put_sharded_edges(mesh: Mesh, edges: np.ndarray, mask: np.ndarray,
                              axis: str = "edges"):
     spec = NamedSharding(mesh, P(axis))

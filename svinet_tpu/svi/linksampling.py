@@ -174,6 +174,33 @@ class LinkSampling(EngineBase):
         self.annealing = True
         self._ce_cache = (self.edges, self.mask)  # reuse for communities
 
+        # -mesh N: data-parallel sweep over a device mesh — training links
+        # sharded, gamma/lambda replicated, sufficient statistics psum'd
+        # (the TPU equivalent of the reference's pthread map-reduce,
+        # src/mmsbinfer.cc:2400-2550)
+        self._mesh_sweep = None
+        if cfg.mesh_devices > 1:
+            import jax
+            from svinet_tpu.parallel.mesh import (
+                make_mesh, shard_edges, make_sharded_multi_sweep,
+                device_put_sharded_edges, device_put_replicated)
+            nd = cfg.mesh_devices
+            if nd > len(jax.devices()):
+                raise SystemExit(f"-mesh {nd} but only "
+                                 f"{len(jax.devices())} devices visible")
+            mesh = make_mesh(nd)
+            es, ms = shard_edges(network.training_links, nd, block)
+            per_shard = es.shape[0] // nd
+            self._mesh_sweep = make_sharded_multi_sweep(
+                mesh, per_shard // block)
+            self.edges, self.mask = device_put_sharded_edges(mesh, es, ms)
+            self.gamma, self.lam, self.deg = device_put_replicated(
+                mesh, self.gamma, self.lam, self.deg)
+            self.consts = LSConsts(*device_put_replicated(
+                mesh, *self.consts))
+            del self._ce_cache      # communities rebuild a local pad
+            cfg.plog("mesh devices", nd)
+
         # -load-test-sets: fixed uniform/biased heldout pair files from
         # the cwd, each with its own per-report likelihood trace
         # (reference: LinkSampling::load_test_sets,
@@ -212,6 +239,11 @@ class LinkSampling(EngineBase):
         """n_sweeps sweeps over all training links, fused into one device
         program (one host round trip)."""
         ann = jnp.float32(1.0 if self.annealing else 0.0)
+        if self._mesh_sweep is not None:
+            self.gamma, self.lam = self._mesh_sweep(
+                self.gamma, self.lam, self.edges, self.mask, self.deg,
+                self.consts, ann, n_sweeps)
+            return
         if n_sweeps == 1:
             self.gamma, self.lam = linksampling_sweep(
                 self.gamma, self.lam, self.edges, self.mask, self.deg,

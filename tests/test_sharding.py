@@ -175,3 +175,25 @@ def test_multi_sweep_matches_repeated_single():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_b),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_cli_mesh_engine_matches_single_device(tmp_path, monkeypatch):
+    """-mesh 8 runs the full LinkSampling engine data-parallel on the
+    virtual mesh and must match the single-device run's final statistics
+    (same seed, same splits)."""
+    import numpy as np
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    for label, extra in (("one", []), ("mesh", ["-mesh", "8"])):
+        rc = main(["-file", assort, "-n", "75", "-k", "4",
+                   "-link-sampling", "-label", label, "-seed", "1",
+                   "-max-iterations", "20", "-no-stop", "-rfreq", "10",
+                   *extra])
+        assert rc == 0
+    def load(label):
+        d = tmp_path / f"n75-k4-{label}-seed1-linksampling"
+        rows = [l.split() for l in open(d / "gamma.txt") if l.strip()]
+        return np.array([[float(v) for v in r[2:]] for r in rows])
+    g1, g8 = load("one"), load("mesh")
+    np.testing.assert_allclose(g8, g1, rtol=2e-4, atol=2e-3)
