@@ -8,8 +8,6 @@ the output-directory naming scheme (src/env.hh:503-568), and the
 
 from __future__ import annotations
 
-import dataclasses
-import math
 import os
 from dataclasses import dataclass, field
 from typing import Optional

@@ -9,7 +9,7 @@ or declines for 3 consecutive reports. During the annealing phase the first
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass

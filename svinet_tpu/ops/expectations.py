@@ -9,7 +9,6 @@ GSL scalar loop there; here a single fused XLA kernel on the VPU).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def dirichlet_expectation(x: jax.Array) -> jax.Array:

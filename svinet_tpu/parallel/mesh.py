@@ -21,11 +21,9 @@ import functools
 from typing import Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from svinet_tpu.ops.edges import pad_edges
 from svinet_tpu.svi.sweep_math import (
     LSConsts, phi_pass, mean_indicator_update, s3_pass, finish_lambda,
 )

@@ -10,7 +10,6 @@ step runs host-side in numpy.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List
 
 import jax

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from svinet_tpu.config import Config
-from svinet_tpu.graph import Network, _pair_key
+from svinet_tpu.graph import Network
 from svinet_tpu.ops.expectations import dirichlet_expectation
 from svinet_tpu.ops.phicomp import phi_fixed_point
 from svinet_tpu.svi.base import EngineBase

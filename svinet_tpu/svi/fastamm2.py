@@ -26,12 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from svinet_tpu.config import Config
-from svinet_tpu.graph import Network, _pair_key
+from svinet_tpu.graph import Network
 from svinet_tpu.evals.likelihood import link_probs
 from svinet_tpu.evals.precision import (
     precision_counts, write_hitcurve, adamic_adar_scores, auc)
 from svinet_tpu.svi.base import EngineBase
-from svinet_tpu.svi.mmsb import svi_step
 
 INF_EPSILON = 0.5   # reference: src/fastamm2.cc:15
 M_SETS = 10         # reference: src/fastamm2.cc:11
