@@ -11,8 +11,8 @@ derived from the step index, so replicas stay consistent with zero extra
 communication.
 
 For n*K too large to replicate, gamma rows can additionally be sharded
-(parameter sharding) — see ROADMAP; this module implements the
-edge-data-parallel path, which covers the reference's entire scale range.
+(parameter sharding) — see make_rowsharded_sweep below. The CLI exposes
+the edge-data-parallel path as `-mesh N` (svi/linksampling.py).
 """
 
 from __future__ import annotations

@@ -253,3 +253,23 @@ def test_ppc_zscores_small_on_self_generated(tmp_path, monkeypatch):
     assert all(np.isfinite(v) for v in z.values())
     assert (rundir / "ppc" / "lc_zscores_pe.txt").exists()
     assert (rundir / "ppc" / "lc_zscores_size.txt").exists()
+
+
+@pytest.mark.parametrize("extra,label", [
+    (["-rnode", "-scale", "2"], "sc"),        # zero-subsampling in rnode
+    (["-rpair", "-inf", "0.001"], "inf"),     # informative-pair threshold
+])
+def test_scale_and_inf_modes_run(tmp_path, assort_path, monkeypatch,
+                                 extra, label):
+    """-scale (rnode zero subsampling, reference: src/mmsbinfer.cc:
+    1127-1189) and -inf (skip zeros with pi_p.pi_q below threshold,
+    reference: src/mmsbinfer.cc:1192-1298) run end-to-end."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4", *extra,
+               "-label", label, "-seed", "1", "-max-iterations", "12",
+               "-no-stop", "-rfreq", "12"])
+    assert rc == 0
+    gam = _find_file(tmp_path, "gamma.txt")
+    assert len(gam) == 1
+    vals = np.array([r.split("\t")[2:] for r in open(gam[0])], float)
+    assert np.isfinite(vals).all() and (vals > 0).all()
