@@ -48,6 +48,7 @@ svinet [OPTIONS]
 \t-heldout-ratio <r>\tfraction of links held out
 \t-label <s>\ttag output directory
 \t-mesh <N>\tshard the link-sampling sweep across N devices
+\t-mesh-rowshard\talso shard gamma rows (for n*K beyond one chip's HBM)
 """
 
 
@@ -97,6 +98,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.itype = int(nxt())
         elif a == "-mesh":
             cfg.mesh_devices = int(nxt())
+        elif a == "-mesh-rowshard":
+            cfg.mesh_rowshard = True
         elif a == "-infset":
             cfg.informative_sampling = True
         elif a == "-preprocess":

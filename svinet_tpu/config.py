@@ -116,6 +116,8 @@ class Config:
     edge_block: int = 8192          # padding granularity for edge arrays
     mesh_devices: int = 0           # -mesh N: data-parallel link-sampling
                                     # over N devices (0 = single device)
+    mesh_rowshard: bool = False     # -mesh-rowshard: shard gamma rows too
+                                    # (large-n regime; needs n % N == 0)
     dtype: str = "float32"
     checkpoint_freq: float = 0.0    # secs between native checkpoints (0=off)
     resume: bool = False            # resume from <outdir>/ckpt if present

@@ -203,3 +203,51 @@ def make_rowsharded_sweep(mesh: Mesh, num_blocks_per_shard: int,
         out_specs=(P(axis), P()),
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_rowsharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
+                                axis: str = "edges") -> Callable:
+    """n_sweeps row-sharded sweeps fused into one device program (the
+    large-n analog of make_sharded_multi_sweep: gamma/deg row-sharded,
+    Elogpi all_gathered per sweep, gacc reduce-scattered)."""
+
+    @functools.lru_cache(maxsize=None)
+    def build(n_sweeps: int):
+        def _local(gamma, lam, edges, mask, deg, consts, annealing):
+            from svinet_tpu.ops.expectations import dirichlet_expectation
+
+            def body(_, state):
+                g, l = state
+                elogpi = jax.lax.all_gather(dirichlet_expectation(g), axis,
+                                            tiled=True)
+                elogbeta = dirichlet_expectation(l)
+                gacc_full, sumk = phi_pass(elogpi, elogbeta[:, 0], edges,
+                                           mask, num_blocks_per_shard)
+                sumk = jax.lax.psum(sumk, axis)
+                gacc = jax.lax.psum_scatter(gacc_full, axis,
+                                            scatter_dimension=0, tiled=True)
+                gnext, mphi_l, s1_l, s2_l, lam0 = mean_indicator_update(
+                    gacc, sumk, deg, consts, annealing)
+                s1 = jax.lax.psum(s1_l, axis)
+                s2 = jax.lax.psum(s2_l, axis)
+                mphi = jax.lax.all_gather(mphi_l, axis, tiled=True)
+                s3 = jax.lax.psum(
+                    s3_pass(mphi, edges, mask, num_blocks_per_shard), axis)
+                return gnext, finish_lambda(s1, s2, s3, lam0, consts)
+
+            return jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
+
+        sharded = jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(axis), P(), P(axis), P(axis), P(axis),
+                      LSConsts(P(), P(), P(), P()), P()),
+            out_specs=(P(axis), P()),
+            check_vma=False)
+        return jax.jit(sharded, donate_argnums=(0, 1))
+
+    def call(gamma, lam, edges, mask, deg, consts, annealing,
+             n_sweeps: int):
+        return build(int(n_sweeps))(gamma, lam, edges, mask, deg, consts,
+                                    annealing)
+
+    return call

@@ -181,9 +181,11 @@ class LinkSampling(EngineBase):
         self._mesh_sweep = None
         if cfg.mesh_devices > 1:
             import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
             from svinet_tpu.parallel.mesh import (
                 make_mesh, shard_edges, make_sharded_multi_sweep,
-                device_put_sharded_edges, device_put_replicated)
+                make_rowsharded_multi_sweep, device_put_sharded_edges,
+                device_put_replicated)
             nd = cfg.mesh_devices
             if nd > len(jax.devices()):
                 raise SystemExit(f"-mesh {nd} but only "
@@ -191,15 +193,29 @@ class LinkSampling(EngineBase):
             mesh = make_mesh(nd)
             es, ms = shard_edges(network.training_links, nd, block)
             per_shard = es.shape[0] // nd
-            self._mesh_sweep = make_sharded_multi_sweep(
-                mesh, per_shard // block)
             self.edges, self.mask = device_put_sharded_edges(mesh, es, ms)
-            self.gamma, self.lam, self.deg = device_put_replicated(
-                mesh, self.gamma, self.lam, self.deg)
+            rowshard = cfg.mesh_rowshard and n % nd == 0
+            if cfg.mesh_rowshard and not rowshard:
+                print(f"+ -mesh-rowshard needs n % {nd} == 0; "
+                      "falling back to replicated gamma")
+            if rowshard:
+                # large-n: gamma/deg row-sharded, Elogpi all_gathered
+                self._mesh_sweep = make_rowsharded_multi_sweep(
+                    mesh, per_shard // block)
+                row = NamedSharding(mesh, P("edges"))
+                self.gamma = jax.device_put(self.gamma, row)
+                self.deg = jax.device_put(self.deg, row)
+                self.lam, = device_put_replicated(mesh, self.lam)
+            else:
+                self._mesh_sweep = make_sharded_multi_sweep(
+                    mesh, per_shard // block)
+                self.gamma, self.lam, self.deg = device_put_replicated(
+                    mesh, self.gamma, self.lam, self.deg)
             self.consts = LSConsts(*device_put_replicated(
                 mesh, *self.consts))
             del self._ce_cache      # communities rebuild a local pad
             cfg.plog("mesh devices", nd)
+            cfg.plog("mesh rowshard", rowshard)
 
         # -load-test-sets: fixed uniform/biased heldout pair files from
         # the cwd, each with its own per-report likelihood trace

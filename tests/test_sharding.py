@@ -197,3 +197,25 @@ def test_cli_mesh_engine_matches_single_device(tmp_path, monkeypatch):
         return np.array([[float(v) for v in r[2:]] for r in rows])
     g1, g8 = load("one"), load("mesh")
     np.testing.assert_allclose(g8, g1, rtol=2e-4, atol=2e-3)
+
+
+def test_cli_mesh_rowshard_matches_single_device(tmp_path, monkeypatch):
+    """-mesh 5 -mesh-rowshard (75 % 5 == 0) row-shards gamma and must
+    still match the single-device run."""
+    import numpy as np
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    for label, extra in (("one", []),
+                         ("rs", ["-mesh", "5", "-mesh-rowshard"])):
+        rc = main(["-file", assort, "-n", "75", "-k", "4",
+                   "-link-sampling", "-label", label, "-seed", "1",
+                   "-max-iterations", "20", "-no-stop", "-rfreq", "10",
+                   *extra])
+        assert rc == 0
+    def load(label):
+        d = tmp_path / f"n75-k4-{label}-seed1-linksampling"
+        rows = [l.split() for l in open(d / "gamma.txt") if l.strip()]
+        return np.array([[float(v) for v in r[2:]] for r in rows])
+    np.testing.assert_allclose(load("rs"), load("one"), rtol=2e-4,
+                               atol=2e-3)
