@@ -219,3 +219,33 @@ def test_cli_mesh_rowshard_matches_single_device(tmp_path, monkeypatch):
         return np.array([[float(v) for v in r[2:]] for r in rows])
     np.testing.assert_allclose(load("rs"), load("one"), rtol=2e-4,
                                atol=2e-3)
+
+
+def test_mesh_checkpoint_resume(tmp_path, monkeypatch):
+    """-mesh + checkpoint resume: restored (unsharded) state must be
+    accepted by the sharded sweep (GSPMD resharding on first step)."""
+    import numpy as np
+    from svinet_tpu.cli import parse_args
+    from svinet_tpu.graph import Network
+    from svinet_tpu.svi.linksampling import LinkSampling
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    args = ["-file", assort, "-n", "75", "-k", "4", "-link-sampling",
+            "-mesh", "8", "-label", "mr", "-seed", "1", "-no-stop",
+            "-rfreq", "4"]
+    cfg = parse_args(args + ["-max-iterations", "8"])
+    net = Network(cfg)
+    net.read(cfg.datfname)
+    eng = LinkSampling(cfg, net)
+    eng.infer()
+    eng.save_checkpoint()
+    it0 = eng.iteration
+
+    cfg2 = parse_args(args + ["-resume", "-max-iterations", "16"])
+    net2 = Network(cfg2)
+    net2.read(cfg2.datfname)
+    eng2 = LinkSampling(cfg2, net2)
+    assert eng2.iteration == it0
+    eng2.infer()
+    assert eng2.iteration > it0
+    assert np.isfinite(np.asarray(eng2.gamma)).all()
