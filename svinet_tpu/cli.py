@@ -214,18 +214,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     # engines run on the observed nodes only (reference: src/main.cc:291)
     network.drop_singles()
 
-    # SIGTERM -> checkpoint and exit (reference: src/main.cc:29-46)
+    # SIGTERM -> save model state and CONTINUE, matching the reference's
+    # poll-based design (src/main.cc:29-46 sets env.terminate; engines
+    # poll it and run do_on_stop, detailed_readme.txt:108-121). The
+    # handler only sets a flag — no device calls in signal context, so a
+    # wedged remote-TPU tunnel cannot hang the handler.
     engine_box = {}
 
     def _term(_sig, _frm):
         eng = engine_box.get("engine")
         if eng is not None:
-            eng.do_on_stop()
-            try:
-                eng.save_checkpoint()
-            except Exception:
-                pass
-        sys.exit(0)
+            eng.terminate_requested = True
+        else:
+            sys.exit(0)
 
     signal.signal(signal.SIGTERM, _term)
 

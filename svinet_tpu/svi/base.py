@@ -116,6 +116,7 @@ class EngineBase:
                        if len(network.test_pairs) else None)
 
         self.iteration = 0
+        self.terminate_requested = False   # set by the SIGTERM handler
         self.stopper = ValidationStop(stopthresh=cfg.stopthresh)
         # on -resume keep the previously written metric history
         app = bool(getattr(cfg, "resume", False))
@@ -271,6 +272,17 @@ class EngineBase:
                   self.stopper.why)
         self.log_communities()
         self._maybe_periodic_checkpoint()
+        if self.terminate_requested:
+            # SIGTERM: save everything and keep running
+            # (reference: src/linksampling.cc:763-766)
+            self.terminate_requested = False
+            self.log("SIGTERM: saving model state at iteration %d",
+                     self.iteration)
+            self.do_on_stop()
+            try:
+                self.save_checkpoint()
+            except Exception:
+                pass
         return stop and cfg.use_validation_stop
 
     def log_communities(self) -> None:
