@@ -49,6 +49,7 @@ svinet [OPTIONS]
 \t-label <s>\ttag output directory
 \t-mesh <N>\tshard the link-sampling sweep across N devices
 \t-mesh-rowshard\talso shard gamma rows (for n*K beyond one chip's HBM)
+\t-freeze\t\tfreeze converged nodes (consolidates overshot K)
 """
 
 
@@ -100,6 +101,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.mesh_devices = int(nxt())
         elif a == "-mesh-rowshard":
             cfg.mesh_rowshard = True
+        elif a == "-freeze":
+            cfg.freeze_converged = True
         elif a == "-infset":
             cfg.informative_sampling = True
         elif a == "-preprocess":

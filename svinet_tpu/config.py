@@ -118,6 +118,9 @@ class Config:
                                     # over N devices (0 = single device)
     mesh_rowshard: bool = False     # -mesh-rowshard: shard gamma rows too
                                     # (large-n regime; needs n % N == 0)
+    freeze_converged: bool = False  # -freeze: reference's converged-node
+                                    # hard assignments (consolidates
+                                    # communities when K overshoots)
     dtype: str = "float32"
     checkpoint_freq: float = 0.0    # secs between native checkpoints (0=off)
     resume: bool = False            # resume from <outdir>/ckpt if present

@@ -22,12 +22,19 @@ class ValidationStop:
     max_t: float = 0.0
     nh: int = 0
     why: int = -1
+    since_max: int = 0   # reports since a new best nshol was set
 
     def update(self, iteration: int, nshol: float) -> bool:
         """Feed one report; returns True when the run should stop."""
         a = nshol
         stop = False
         self.why = -1
+        if a > self.max_h:
+            self.max_h = a
+            self.max_t = 0.0
+            self.since_max = 0
+        else:
+            self.since_max += 1
         if iteration > self.min_iter:
             if (a > self.prev_h and self.prev_h != 0 and
                     abs((a - self.prev_h) / self.prev_h) < self.stopthresh):
@@ -37,9 +44,6 @@ class ValidationStop:
                 self.nh += 1
             elif a > self.prev_h:
                 self.nh = 0
-            if a > self.max_h:
-                self.max_h = a
-                self.max_t = 0.0
             if self.nh > 2:   # robust to small fluctuations
                 self.why = 1
                 stop = True
@@ -51,3 +55,4 @@ class ValidationStop:
         self.nh = 0
         self.why = 0
         self.prev_h = 0.0
+        self.since_max = 0

@@ -43,45 +43,52 @@ from svinet_tpu.ops.edges import pad_edges
 from svinet_tpu.svi.base import EngineBase
 from svinet_tpu.svi.sweep_math import (
     LSConsts, phi_pass, mean_indicator_update, s3_pass, finish_lambda,
+    converged_of,
 )
 from svinet_tpu.io.writers import load_model
 
 
 def _sweep_body(gamma, lam, edges, mask, deg, consts: LSConsts,
-                annealing, num_blocks: int):
-    # NOTE on converged-node freezing (reference fast path,
-    # src/linksampling.cc:618-631): implemented as the optional `conv`
-    # argument of phi_pass/s3_pass (see converged_of) and measured on the
-    # v5e — it makes the sweep ~2x slower (two extra int row-gathers per
-    # edge at the gather-rate bound) AND worsens ca-AstroPh heldout nshol
-    # (-0.0099 vs -0.0088), so the dense path stays the default.
+                annealing, num_blocks: int, freeze: bool = False):
+    # Converged-node freezing (reference fast path,
+    # src/linksampling.cc:618-631): implemented via the `conv` argument of
+    # phi_pass/s3_pass (see converged_of). Measured on the v5e it makes
+    # the sweep ~2x slower (two extra int row-gathers per edge at the
+    # gather-rate bound) and slightly worsens ca-AstroPh heldout nshol
+    # (-0.0099 vs -0.0088), so it is OFF by default — but it is the
+    # reference's consolidation force when K overshoots the true
+    # community count (K=20 on assort-75-4: 4 populated communities with
+    # freezing vs ~11 without), exposed as `-freeze`.
     elogpi = dirichlet_expectation(gamma)
     elogbeta = dirichlet_expectation(lam)
-    gacc, sumk = phi_pass(elogpi, elogbeta[:, 0], edges, mask, num_blocks)
+    conv = converged_of(gamma, consts.alpha) if freeze else None
+    gacc, sumk = phi_pass(elogpi, elogbeta[:, 0], edges, mask, num_blocks,
+                          conv)
     gnext, mphi, s1, s2, lam0 = mean_indicator_update(
         gacc, sumk, deg, consts, annealing)
-    s3 = s3_pass(mphi, edges, mask, num_blocks)
+    s3 = s3_pass(mphi, edges, mask, num_blocks, conv)
     return gnext, finish_lambda(s1, s2, s3, lam0, consts)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("num_blocks",))
+                   static_argnames=("num_blocks", "freeze"))
 def linksampling_sweep(gamma, lam, edges, mask, deg, consts: LSConsts,
-                       annealing, num_blocks: int):
+                       annealing, num_blocks: int, freeze: bool = False):
     """One full sweep over the training links. Pure function of the state.
 
     edges: (Ep,2) int32 padded; mask: (Ep,) f32; deg: (n,) f32 training degree.
     annealing: f32 scalar in {0,1}.
     """
     return _sweep_body(gamma, lam, edges, mask, deg, consts, annealing,
-                       num_blocks)
+                       num_blocks, freeze)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("num_blocks", "n_sweeps"))
+                   static_argnames=("num_blocks", "n_sweeps", "freeze"))
 def linksampling_multi_sweep(gamma, lam, edges, mask, deg,
                              consts: LSConsts, annealing,
-                             num_blocks: int, n_sweeps: int):
+                             num_blocks: int, n_sweeps: int,
+                             freeze: bool = False):
     """n_sweeps full sweeps fused into ONE device program.
 
     Between report boundaries nothing on the host needs the intermediate
@@ -92,7 +99,7 @@ def linksampling_multi_sweep(gamma, lam, edges, mask, deg,
     def body(_, state):
         g, l = state
         return _sweep_body(g, l, edges, mask, deg, consts, annealing,
-                           num_blocks)
+                           num_blocks, freeze)
     return jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
 
 
@@ -260,14 +267,15 @@ class LinkSampling(EngineBase):
                 self.gamma, self.lam, self.edges, self.mask, self.deg,
                 self.consts, ann, n_sweeps)
             return
+        fz = bool(self.cfg.freeze_converged)
         if n_sweeps == 1:
             self.gamma, self.lam = linksampling_sweep(
                 self.gamma, self.lam, self.edges, self.mask, self.deg,
-                self.consts, ann, self.num_blocks)
+                self.consts, ann, self.num_blocks, fz)
         else:
             self.gamma, self.lam = linksampling_multi_sweep(
                 self.gamma, self.lam, self.edges, self.mask, self.deg,
-                self.consts, ann, self.num_blocks, n_sweeps)
+                self.consts, ann, self.num_blocks, n_sweeps, fz)
 
     def report(self) -> bool:
         """EngineBase reporting + the annealing phase switch: the FIRST
@@ -294,22 +302,36 @@ class LinkSampling(EngineBase):
             h = getattr(self, "_anneal_hist", [])
             h.append(self.stopper.prev_h)     # prev_h = this report's nshol
             self._anneal_hist = h[-3:]
-        if self.annealing and self._last_stop_raw:
+        if self.annealing:
             # The reference ends annealing at the FIRST stop signal
             # (src/linksampling.cc:1036-1043) — either the relative
             # plateau (why=100) or 3 consecutive declines (why=1). In
             # float32 the nshol trace wobbles at the 1e-5 level mid-
-            # descent, so the declines rule fires ~50 iterations before
-            # the double-precision reference's does and annealing exits
-            # far too early (iter ~27 vs ~80 on ca-AstroPh, costing
-            # ~8% heldout likelihood). Only the plateau criterion ends
-            # annealing here; dips just reset the decline counter.
-            genuine_plateau = (self.stopper.why == 100
+            # descent, so the raw declines rule fires ~50 iterations
+            # before the double-precision reference's does and annealing
+            # exits far too early (iter ~27 vs ~80 on ca-AstroPh, costing
+            # ~8% heldout likelihood). Two robust exit criteria instead:
+            #   (a) a genuine tight plateau (1e-6/iteration over two
+            #       consecutive reports), or
+            #   (b) a deep (>8% relative) drawdown below the best —
+            #       f32 wobble dips are ~0.5% (ca-AstroPh) and the slow
+            #       post-peak nshol drift of a structure-improving anneal
+            #       stays under ~6% (LFR, where NMI keeps climbing),
+            #       while a genuinely regressing anneal (K far above the
+            #       true community count, where the per-column scale
+            #       splits real blocks) digs past 8% and keeps going.
+            genuine_plateau = (self._last_stop_raw
+                               and self.stopper.why == 100
                                and self._anneal_plateau())
-            if genuine_plateau or self.iteration >= 1000:  # runaway backstop
+            mx = self.stopper.max_h
+            drawdown = (mx - self.stopper.prev_h) / abs(mx) if mx else 0.0
+            regressing = self.stopper.since_max >= 2 and drawdown > 0.08
+            if (genuine_plateau or regressing
+                    or self.iteration >= 1000):   # runaway backstop
                 self.annealing = False
                 self.stopper.reset_after_annealing()
-                self.log(f"annealing ended at iteration {self.iteration}")
+                self.log(f"annealing ended at iteration {self.iteration}"
+                         f" ({'plateau' if genuine_plateau else 'no-improve'})")
             else:
                 self.stopper.nh = 0
             return False
