@@ -160,6 +160,9 @@ def parse_args(argv: List[str]) -> Config:
         elif a == "-inf":
             cfg.infthresh = float(nxt())
         elif a == "-nonuniform":
+            # requires -inf <t>, checked after parsing (reference runs the
+            # nonuniform sampler only under `if (_env.infthresh)`,
+            # src/mmsbinfer.cc:543-548)
             cfg.nonuniform = True
         elif a == "-strid":
             cfg.strid = True
@@ -194,6 +197,10 @@ def parse_args(argv: List[str]) -> Config:
     # reference bumps rfreq to 100 in sampled modes unless given
     if not rfreq_set and (cfg.randomnode or cfg.randompair or cfg.stratified):
         cfg.reportfreq = 100
+    if cfg.nonuniform and cfg.infthresh <= 0:
+        print("+ -nonuniform requires -inf <threshold>; it is a no-op "
+              "without one (matching the reference dispatch, "
+              "src/mmsbinfer.cc:543-548)", file=sys.stderr)
     cfg.resolve()
     return cfg
 
@@ -216,6 +223,10 @@ def main(argv: Optional[List[str]] = None) -> int:
           f"singles = {network.singles}")
     # engines run on the observed nodes only (reference: src/main.cc:291)
     network.drop_singles()
+    if cfg.groups_file:
+        # gt-group metadata; dumped to gt_groups.txt by EngineBase
+        # (reference: src/network.cc:154, 721-775)
+        network.load_gt_groups(cfg.groups_file)
 
     # SIGTERM -> save model state and CONTINUE, matching the reference's
     # poll-based design (src/main.cc:29-46 sets env.terminate; engines

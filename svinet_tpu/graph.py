@@ -46,6 +46,8 @@ class Network:
         self.col_idx: np.ndarray = np.zeros(0, np.int32)
         # ground truth communities: list of np arrays of seq ids
         self.ground_truth: Optional[List[np.ndarray]] = None
+        # -groups-file: per-seq-node group metadata string
+        self.gt_groups: Dict[int, str] = {}
         # heldout splits (canonical pairs + labels)
         self.validation_pairs: np.ndarray = np.zeros((0, 2), np.int32)
         self.validation_y: np.ndarray = np.zeros(0, np.int8)
@@ -240,6 +242,41 @@ class Network:
                     comms.setdefault(int(c), []).append(seq)
         self.ground_truth = [np.array(sorted(v), np.int64)
                              for _, v in sorted(comms.items())]
+
+    def load_gt_groups(self, path: str) -> int:
+        """-groups-file: per-node ground-truth group metadata, one
+        ``node_id<TAB>group`` line per node (string node ids with -strid).
+        First entry per node wins; ids absent from the network are skipped
+        with a warning (reference: Network::load_gt_groups,
+        src/network.cc:721-775)."""
+        n_loaded = 0
+        str2seq = ({s: i for i, s in enumerate(self.str_ids)}
+                   if self.str_ids else None)
+        with open(path) as f:
+            for line in f:
+                toks = line.split()
+                if len(toks) < 2:
+                    continue
+                if str2seq is not None:
+                    seq = str2seq.get(toks[0])
+                else:
+                    try:
+                        seq = self.id2seq.get(int(toks[0]))
+                    except ValueError:
+                        seq = None
+                if seq is None:
+                    print(f"+ groups-file: no node for id {toks[0]!r}")
+                    continue
+                if seq not in self.gt_groups:
+                    self.gt_groups[seq] = toks[1]
+                    n_loaded += 1
+        print(f"+ loaded {n_loaded} group entries")
+        return n_loaded
+
+    def gt_group(self, seq: int) -> str:
+        """Group metadata for a seq node id, '' when absent
+        (reference: Network::gt_group, src/network.hh:208-214)."""
+        return self.gt_groups.get(seq, "")
 
     def load_init_communities(self, path: str) -> None:
         """Load -init-communities: ONE COMMUNITY PER LINE of external node

@@ -95,6 +95,13 @@ class EngineBase:
                     for ci, comm in enumerate(network.ground_truth):
                         f.write(f"{ci}\t{len(comm)}\n")
 
+        if network.gt_groups:
+            # -groups-file dump: seq id -> group string
+            # (reference: Network::load_gt_groups, src/network.cc:769-773)
+            with open(cfg.file_str("gt_groups.txt"), "w") as f:
+                for seq in sorted(network.gt_groups):
+                    f.write(f"{seq}\t{network.gt_groups[seq]}\n")
+
         if len(network.precision_pairs):
             write_edgelist(cfg.file_str("precision-edges.txt"),
                            network.precision_pairs, network.precision_y,

@@ -230,8 +230,15 @@ class LinkSampling(EngineBase):
         # src/linksampling.cc:1075-1145)
         self._test_sets = []
         if cfg.load_test_sets:
+            import os
             from svinet_tpu.io.writers import ReportFile, write_edgelist
-            for name in ("uniform", "biased"):
+            present = [name for name in ("uniform", "biased")
+                       if os.path.exists(f"{name}-heldout-pairs.txt")]
+            if not present:
+                raise SystemExit(
+                    "+ -load-test-sets: neither uniform-heldout-pairs.txt "
+                    "nor biased-heldout-pairs.txt found in the cwd")
+            for name in present:
                 pairs, ys = network.load_pairs_file(
                     f"{name}-heldout-pairs.txt")
                 write_edgelist(cfg.file_str(f"{name}-test-pairs.txt"),

@@ -78,12 +78,52 @@ def pair_block_stats(elogpi, elogbeta, pairs, y, w, num_blocks: int,
     return gacc, lacc
 
 
+def nonuniform_weights(gamma, pairs, y, mask, infthresh: float):
+    """-nonuniform pair weighting, on device from the CURRENT gamma
+    (reference: MMSBInfer::opt_nonuniform_process,
+    src/mmsbinfer.cc:1525-1700). Pairs are classified by the prior link
+    probability p_i = E[pi_p] . E[pi_q]:
+
+      links                        all processed, weight = #links
+      zeros with p_i <  infthresh  first 1 processed,  weight = #noninf zeros
+      zeros with p_i >= infthresh  first 0.1% processed, weight = #inf zeros
+
+    (caps n1_max/n2_max/n3_max and the per-category phi scaling at
+    src/mmsbinfer.cc:1568-1571, 1608-1655; the phi pre-scale by the
+    category count and the 1/count on lambda_hat net out to `count` on
+    both gamma_hat and lambda_hat, folded here into one weight).
+    Returns (weights, n_processed) — n_processed feeds the rnode scale
+    3n / (2 (n1+n2+n3)) (src/mmsbinfer.cc:571-572)."""
+    gp = gamma[pairs[:, 0]]
+    gq = gamma[pairs[:, 1]]
+    pip = gp / gp.sum(-1, keepdims=True)
+    piq = gq / gq.sum(-1, keepdims=True)
+    p_i = jnp.clip((pip * piq).sum(-1), 0.0, 1.0)
+    valid = mask > 0
+    is_link = (y == 1) & valid
+    noninf = (y == 0) & valid & (p_i < infthresh)
+    inf = (y == 0) & valid & (p_i >= infthresh)
+    nones = is_link.sum()
+    nz_inf = inf.sum()
+    nz_noninf = noninf.sum()
+    n3_max = (0.001 * nz_inf).astype(jnp.int32)
+    sel_noninf = noninf & (jnp.cumsum(noninf.astype(jnp.int32)) <= 1)
+    sel_inf = inf & (jnp.cumsum(inf.astype(jnp.int32)) <= n3_max)
+    f = gamma.dtype
+    w = (is_link.astype(f) * nones.astype(f)
+         + sel_noninf.astype(f) * nz_noninf.astype(f)
+         + sel_inf.astype(f) * nz_inf.astype(f))
+    n_processed = nones + sel_noninf.sum() + sel_inf.sum()
+    return w, n_processed
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("num_blocks", "max_iters", "infthresh"))
+                   static_argnames=("num_blocks", "max_iters", "infthresh",
+                                    "nonuniform"))
 def svi_step(gamma, lam, pairs, y, w, alpha, eta, gscale, lscale,
              noderhot, rhot, do_lambda, log_eps, num_blocks: int,
              max_iters: int, thresh: float = 1e-5,
-             infthresh: float = 0.0):
+             infthresh: float = 0.0, nonuniform: bool = False):
     """One natural-gradient SVI step (reference: src/mmsbinfer.cc:563-641).
 
     gscale/lscale fold in scale/mbsize; noderhot/rhot are the Robbins-Monro
@@ -91,10 +131,22 @@ def svi_step(gamma, lam, pairs, y, w, alpha, eta, gscale, lscale,
     construction, no communication needed). infthresh > 0 masks out
     uninformative zero-pairs: nonlinks whose max_k pi_p pi_q falls below
     the threshold skip the local step entirely (reference:
-    MMSBInfer::opt_process, src/mmsbinfer.cc:1192-1298)."""
+    MMSBInfer::opt_process, src/mmsbinfer.cc:1192-1298). nonuniform
+    replaces the mask with the category-weighted sampler and the rnode
+    scale 3n/(2 n_processed) (src/mmsbinfer.cc:1525-1700, 571-572);
+    with it set, gscale/lscale carry the rnode flag: > 0 means rnode
+    (device-computed scale), <= 0 means keep the host scale as |gscale|."""
     elogpi = dirichlet_expectation(gamma)
     elogbeta = dirichlet_expectation(lam)
-    if infthresh > 0.0:
+    if nonuniform and infthresh > 0.0:
+        wnu, n_proc = nonuniform_weights(gamma, pairs, y, w, infthresh)
+        n = jnp.asarray(gamma.shape[0], gamma.dtype)
+        dev_scale = 3.0 * n / (2.0 * jnp.maximum(n_proc, 1).astype(
+            gamma.dtype))
+        gscale = jnp.where(gscale > 0, dev_scale, -gscale)
+        lscale = jnp.where(lscale > 0, dev_scale, -lscale)
+        w = wnu
+    elif infthresh > 0.0:
         # normalize only the gathered minibatch rows, not all of gamma
         gp = gamma[pairs[:, 0]]
         gq = gamma[pairs[:, 1]]
@@ -113,11 +165,13 @@ def svi_step(gamma, lam, pairs, y, w, alpha, eta, gscale, lscale,
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("num_blocks", "max_iters", "infthresh"))
+                   static_argnames=("num_blocks", "max_iters", "infthresh",
+                                    "nonuniform"))
 def svi_multi_step(gamma, lam, batch_pairs, batch_y, batch_w, alpha, eta,
                    gscales, lscales, noderhots, rhots, do_lambdas,
                    log_eps, num_blocks: int, max_iters: int,
-                   thresh: float = 1e-5, infthresh: float = 0.0):
+                   thresh: float = 1e-5, infthresh: float = 0.0,
+                   nonuniform: bool = False):
     """B natural-gradient SVI steps fused into one device program.
 
     batch_pairs: (B, s, 2) pre-sampled minibatches (host rng keeps the
@@ -130,7 +184,7 @@ def svi_multi_step(gamma, lam, batch_pairs, batch_y, batch_w, alpha, eta,
         pairs, y, w, gs, ls, nr, rt, dl = xs
         g, l = svi_step.__wrapped__(
             g, l, pairs, y, w, alpha, eta, gs, ls, nr, rt, dl, log_eps,
-            num_blocks, max_iters, thresh, infthresh)
+            num_blocks, max_iters, thresh, infthresh, nonuniform)
         return (g, l), None
 
     (gamma, lam), _ = jax.lax.scan(
@@ -198,6 +252,9 @@ class MMSBInfer(EngineBase):
             network.edges[:, 1].astype(np.int64), n))
 
         self._family = 0
+        # -nonuniform needs -inf (reference dispatch: opt_nonuniform only
+        # runs under `if (_env.infthresh)`, src/mmsbinfer.cc:543-548)
+        self._nonuniform = bool(cfg.nonuniform and cfg.infthresh > 0)
         self._lambda_start_iter = 0
         self._delaylearn_reported = False
         self._block = min(cfg.edge_block, 2048)
@@ -288,6 +345,10 @@ class MMSBInfer(EngineBase):
             gscale = lscale = scale / len(pairs)
             pad_to = max(self._block,
                          ((s + self._block - 1) // self._block) * self._block)
+        if self._nonuniform:
+            # device computes the rnode scale 3n/(2 n_processed); sign
+            # flags the mode (see svi_step): > 0 rnode, <= 0 host scale
+            gscale = lscale = (1.0 if cfg.randomnode else -gscale)
 
         pp = np.zeros((pad_to, 2), np.int32)
         yy = np.zeros(pad_to, np.int32)
@@ -333,7 +394,7 @@ class MMSBInfer(EngineBase):
             stack(7, np.float32), jnp.float32(self.log_eps),
             num_blocks=pad_to // self._block,
             max_iters=cfg.online_iterations, thresh=cfg.meanchangethresh,
-            infthresh=float(cfg.infthresh))
+            infthresh=float(cfg.infthresh), nonuniform=self._nonuniform)
 
     def _step_minibatch(self) -> None:
         self._step_minibatches(1)

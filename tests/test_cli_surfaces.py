@@ -273,3 +273,96 @@ def test_scale_and_inf_modes_run(tmp_path, assort_path, monkeypatch,
     assert len(gam) == 1
     vals = np.array([r.split("\t")[2:] for r in open(gam[0])], float)
     assert np.isfinite(vals).all() and (vals > 0).all()
+
+
+def test_nonuniform_rnode_runs(tmp_path, assort_path, monkeypatch):
+    """-rnode -inf -nonuniform: category-weighted sampling with the
+    device-computed 3n/(2 n_processed) scale runs end-to-end
+    (reference: MMSBInfer::opt_nonuniform_process,
+    src/mmsbinfer.cc:1525-1700, scale at 571-572)."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4", "-rnode",
+               "-inf", "0.02", "-nonuniform", "-label", "nu", "-seed", "1",
+               "-max-iterations", "12", "-no-stop", "-rfreq", "12"])
+    assert rc == 0
+    gam = _find_file(tmp_path, "gamma.txt")
+    assert len(gam) == 1
+    vals = np.array([r.split("\t")[2:] for r in open(gam[0])], float)
+    assert np.isfinite(vals).all() and (vals > 0).all()
+
+
+def test_nonuniform_weights_semantics():
+    """nonuniform_weights reproduces the reference's category caps and
+    weights (src/mmsbinfer.cc:1568-1571): all links at weight #links, the
+    FIRST noninformative zero at weight #noninf, the first 0.1% of
+    informative zeros at weight #inf."""
+    import jax.numpy as jnp
+    from svinet_tpu.svi.mmsb import nonuniform_weights
+
+    # gamma rows: node 0 loaded on k=0; nodes 1,2 also k=0 (informative
+    # with 0); node 3 on k=1 (uninformative with 0)
+    gamma = jnp.asarray([[10.0, 0.1], [10.0, 0.1], [10.0, 0.1],
+                         [0.1, 10.0]], jnp.float32)
+    pairs = jnp.asarray([[0, 1], [0, 2], [0, 3], [0, 0]], jnp.int32)
+    y = jnp.asarray([1, 0, 0, 0], jnp.int32)
+    mask = jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32)
+    w, n_proc = nonuniform_weights(gamma, pairs, y, mask, infthresh=0.5)
+    w = np.asarray(w)
+    # pair (0,1): link -> weight = #links = 1
+    assert w[0] == 1.0
+    # pair (0,2): informative zero (pi overlap ~0.98 > 0.5) but cap
+    # floor(0.001*1) = 0 -> dropped
+    assert w[1] == 0.0
+    # pair (0,3): noninformative zero, first one -> weight = #noninf = 1
+    assert w[2] == 1.0
+    # padding dropped
+    assert w[3] == 0.0
+    assert int(n_proc) == 2
+
+
+def test_groups_file_dump(tmp_path, assort_path, monkeypatch):
+    """-groups-file loads per-node group metadata and dumps gt_groups.txt
+    (reference: Network::load_gt_groups, src/network.cc:721-775)."""
+    monkeypatch.chdir(tmp_path)
+    gf = tmp_path / "groups.txt"
+    with open(gf, "w") as f:
+        f.write("1\tphysics\n2\tbiology\n999999\tmissing\n")
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4",
+               "-link-sampling", "-label", "gf", "-seed", "1",
+               "-max-iterations", "5", "-no-stop", "-rfreq", "5",
+               "-groups-file", str(gf)])
+    assert rc == 0
+    out = _find_file(tmp_path, "gt_groups.txt")
+    assert len(out) == 1
+    rows = dict(l.split() for l in open(out[0]) if l.strip())
+    # seq ids of external ids 1 and 2; the unknown id is skipped
+    assert len(rows) == 2
+    assert set(rows.values()) == {"physics", "biology"}
+
+
+def test_load_test_sets_single_file(tmp_path, assort_path, monkeypatch):
+    """-load-test-sets with only ONE of the two pair files present loads
+    that one instead of crashing; with neither it exits with a clear
+    error (reference behavior: src/linksampling.cc:1075-1145 requires
+    both, which VERDICT r1 flagged as a crash hazard)."""
+    monkeypatch.chdir(tmp_path)
+    edges = np.array([l.split() for l in open(assort_path)
+                      if l.strip()], np.int64)
+    with open(tmp_path / "uniform-heldout-pairs.txt", "w") as f:
+        for p, q in edges[:: len(edges) // 8][:8]:
+            f.write(f"{p}\t{q}\n")
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4",
+               "-link-sampling", "-label", "ts1", "-max-iterations", "5",
+               "-no-stop", "-rfreq", "5", "-seed", "1",
+               "-load-test-sets"])
+    assert rc == 0
+    rundir = tmp_path / "n75-k4-ts1-seed1-linksampling"
+    assert (rundir / "uniform-hol.txt").exists()
+    assert not (rundir / "biased-hol.txt").exists()
+
+    os.remove(tmp_path / "uniform-heldout-pairs.txt")
+    with pytest.raises(SystemExit):
+        main(["-file", assort_path, "-n", "75", "-k", "4",
+              "-link-sampling", "-label", "ts0", "-max-iterations", "5",
+              "-no-stop", "-rfreq", "5", "-seed", "1",
+              "-load-test-sets"])
