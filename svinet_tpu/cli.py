@@ -49,6 +49,9 @@ svinet [OPTIONS]
 \t-label <s>\ttag output directory
 \t-mesh <N>\tshard the link-sampling sweep across N devices
 \t-mesh-rowshard\talso shard gamma rows (for n*K beyond one chip's HBM)
+\t-dist-coordinator <host:port>\tmulti-host coordinator address
+\t-dist-nprocs <N>\tnumber of hosts (launch one process per host)
+\t-dist-procid <I>\tthis host's process index
 \t-freeze\t\tfreeze converged nodes (consolidates overshot K)
 """
 
@@ -101,6 +104,12 @@ def parse_args(argv: List[str]) -> Config:
             cfg.mesh_devices = int(nxt())
         elif a == "-mesh-rowshard":
             cfg.mesh_rowshard = True
+        elif a == "-dist-coordinator":
+            cfg.dist_coordinator = nxt()
+        elif a == "-dist-nprocs":
+            cfg.dist_nprocs = int(nxt())
+        elif a == "-dist-procid":
+            cfg.dist_procid = int(nxt())
         elif a == "-freeze":
             cfg.freeze_converged = True
         elif a == "-infset":
@@ -211,6 +220,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(USAGE)
         return -1
     cfg = parse_args(argv)
+
+    if cfg.dist_nprocs > 1:
+        # multi-host bring-up BEFORE any jax backend use; every process
+        # runs the identical engine loop (SPMD — same file, same seed,
+        # same control flow), only process 0 owns the canonical outdir
+        from svinet_tpu.parallel.mesh import init_distributed
+        init_distributed(cfg.dist_coordinator, cfg.dist_nprocs,
+                         cfg.dist_procid)
+        import jax
+        import os as _os
+        print(f"+ distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+        if jax.process_index() != 0:
+            cfg.outdir = _os.path.join(cfg.outdir,
+                                       f"proc{jax.process_index()}")
 
     if cfg.gen:
         from svinet_tpu.svi.gen import MMSBGen

@@ -121,6 +121,17 @@ class Config:
     freeze_converged: bool = False  # -freeze: reference's converged-node
                                     # hard assignments (consolidates
                                     # communities when K overshoots)
+    # multi-host bring-up (jax.distributed); env vars are the fallback so
+    # a launcher can export them once per host instead of editing flags
+    dist_coordinator: str = field(
+        default_factory=lambda: os.environ.get(
+            "SVINET_DIST_COORDINATOR", ""))
+    dist_nprocs: int = field(
+        default_factory=lambda: int(os.environ.get(
+            "SVINET_DIST_NPROCS", "0")))
+    dist_procid: int = field(
+        default_factory=lambda: int(os.environ.get(
+            "SVINET_DIST_PROCID", "0")))
     dtype: str = "float32"
     checkpoint_freq: float = 0.0    # secs between native checkpoints (0=off)
     resume: bool = False            # resume from <outdir>/ckpt if present

@@ -131,23 +131,39 @@ def make_sharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
     return call
 
 
+def global_put(arr, sharding):
+    """device_put that also works under multi-process JAX: when the
+    sharding spans devices of other processes, build the global jax.Array
+    from the locally-addressable shards only (every process holds the
+    full host copy — they all ingest the same graph — so the callback
+    just slices it)."""
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def device_put_sharded_edges(mesh: Mesh, edges: np.ndarray, mask: np.ndarray,
                              axis: str = "edges"):
     spec = NamedSharding(mesh, P(axis))
-    return (jax.device_put(edges, spec), jax.device_put(mask, spec))
+    return (global_put(edges, spec), global_put(mask, spec))
 
 
 def device_put_replicated(mesh: Mesh, *arrays):
     spec = NamedSharding(mesh, P())
-    return tuple(jax.device_put(a, spec) for a in arrays)
+    return tuple(global_put(a, spec) for a in arrays)
 
 
 def init_distributed(coordinator: str = "", num_processes: int = 0,
                      process_id: int = 0) -> None:
-    """Multi-host bring-up: call once per host before building the mesh
+    """Multi-host bring-up: call once per host, BEFORE anything touches a
+    jax backend, then build the mesh over the now-global jax.devices()
     (the reference has no distributed backend — its pthread reduce,
     src/mmsbinfer.cc:1770-1827, is single-address-space; on TPU pods the
-    same reduce rides ICI/DCN via the psum in the sharded sweeps)."""
+    same psum in the sharded sweeps rides ICI within a slice and DCN
+    across hosts). The CLI wires this via -dist-coordinator/-dist-nprocs/
+    -dist-procid or the SVINET_DIST_* environment variables."""
     if num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,

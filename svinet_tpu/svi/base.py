@@ -177,6 +177,24 @@ class EngineBase:
         return jnp.asarray(pairs), jnp.asarray(ys)
 
     # ------------------------------------------------------------------
+    def _eval_arrays(self):
+        """gamma/lam as LOCAL device arrays for the host-side eval jits
+        (heldout stats, community extraction). Single-process: the live
+        state. Multi-process: the mesh state is a global array spanning
+        other hosts' devices and cannot mix with local eval inputs in one
+        jit, so evals run on a per-process replica copy (the state is
+        fully replicated in the supported multi-host mode, so np.asarray
+        is a local read). Cached per iteration."""
+        import jax
+        if jax.process_count() == 1:
+            return self.gamma, self.lam
+        if getattr(self, "_eval_cache_iter", -1) != self.iteration:
+            self._eval_g = jnp.asarray(np.asarray(self.gamma))
+            self._eval_l = jnp.asarray(np.asarray(self.lam))
+            self._eval_cache_iter = self.iteration
+        return self._eval_g, self._eval_l
+
+    # ------------------------------------------------------------------
     def _state_dict(self):
         """State captured by native checkpoints; subclasses extend."""
         return {"gamma": self.gamma, "lam": self.lam,
@@ -212,20 +230,21 @@ class EngineBase:
     def report(self) -> bool:
         """Validation likelihood + stopping logic. Returns True to stop."""
         cfg = self.cfg
-        res = heldout_stats(self.gamma, self.lam, self.val_pairs, self.val_y,
+        eg, el = self._eval_arrays()
+        res = heldout_stats(eg, el, self.val_pairs, self.val_y,
                             cfg.epsilon)
         nshol = self._vf.write(self.iteration, self.duration(), res,
                                cfg.zeros_prob, cfg.ones_prob)
         self._hf.write(self.iteration, self.duration(), res,
                        cfg.zeros_prob, cfg.ones_prob)
         if self._tf is not None:
-            tres = heldout_stats(self.gamma, self.lam, self.test_pairs,
+            tres = heldout_stats(eg, el, self.test_pairs,
                                  self.test_y, cfg.epsilon)
             self._tf.write(self.iteration, self.duration(), tres,
                            cfg.zeros_prob, cfg.ones_prob)
         if self._train_sample is not None:
             tp, ty = self._train_sample
-            trres = heldout_stats(self.gamma, self.lam, tp, ty, cfg.epsilon)
+            trres = heldout_stats(eg, el, tp, ty, cfg.epsilon)
             self._trf.write(self.iteration, self.duration(), trres,
                             cfg.zeros_prob, cfg.ones_prob)
             # stats.txt: the reference's 7-column training-likelihood trace
@@ -295,7 +314,8 @@ class EngineBase:
     def log_communities(self) -> None:
         cfg = self.cfg
         edges, mask = self._community_edges()
-        argmax, maxval = edge_assignments(self.gamma, self.lam, edges, mask)
+        eg, el = self._eval_arrays()
+        argmax, maxval = edge_assignments(eg, el, edges, mask)
         self._communities = extract_communities(
             np.asarray(argmax), np.asarray(maxval),
             np.asarray(edges), np.asarray(mask),

@@ -205,13 +205,19 @@ class LinkSampling(EngineBase):
             if cfg.mesh_rowshard and not rowshard:
                 print(f"+ -mesh-rowshard needs n % {nd} == 0; "
                       "falling back to replicated gamma")
+            if rowshard and jax.process_count() > 1:
+                raise SystemExit(
+                    "+ -mesh-rowshard is single-host only for now: the "
+                    "report/community paths read gamma back to every "
+                    "host, which needs a cross-host allgather")
             if rowshard:
                 # large-n: gamma/deg row-sharded, Elogpi all_gathered
+                from svinet_tpu.parallel.mesh import global_put
                 self._mesh_sweep = make_rowsharded_multi_sweep(
                     mesh, per_shard // block)
                 row = NamedSharding(mesh, P("edges"))
-                self.gamma = jax.device_put(self.gamma, row)
-                self.deg = jax.device_put(self.deg, row)
+                self.gamma = global_put(self.gamma, row)
+                self.deg = global_put(self.deg, row)
                 self.lam, = device_put_replicated(mesh, self.lam)
             else:
                 self._mesh_sweep = make_sharded_multi_sweep(
@@ -292,8 +298,9 @@ class LinkSampling(EngineBase):
         self._log_convergence()
         if self._test_sets:
             from svinet_tpu.evals.likelihood import heldout_stats
+            eg, el = self._eval_arrays()
             for name, pairs, ys, rf in self._test_sets:
-                res = heldout_stats(self.gamma, self.lam, pairs, ys,
+                res = heldout_stats(eg, el, pairs, ys,
                                     self.cfg.epsilon)
                 rf.write(self.iteration, self.duration(), res,
                          self.cfg.zeros_prob, self.cfg.ones_prob)
@@ -301,7 +308,7 @@ class LinkSampling(EngineBase):
                 # (reference: LinkSampling::biased_auc/uniform_auc,
                 # src/linksampling.cc:~1150)
                 from svinet_tpu.evals.likelihood import link_probs
-                probs = np.asarray(link_probs(self.gamma, self.lam, pairs))
+                probs = np.asarray(link_probs(eg, el, pairs))
                 with open(self.cfg.file_str(f"{name}_auc.txt"), "w") as f:
                     for yy, u in zip(np.asarray(ys), probs):
                         f.write(f"{int(yy)} {u:.3f}\n")
@@ -370,8 +377,9 @@ class LinkSampling(EngineBase):
         if not hasattr(self, "_convf"):
             self._convf = open(self.cfg.file_str("convergence.txt"), "w")
             self._first_conv = np.zeros(self.n, np.int64)
-        active = np.asarray(
-            (self.gamma - self.consts.alpha >= 1.0).sum(axis=1))
+        # host numpy (self.gamma may be a multi-host global array; eager
+        # jnp ops on those raise — np.asarray of replicated state is fine)
+        active = (np.asarray(self.gamma) - self.cfg.alpha >= 1.0).sum(axis=1)
         is_conv = active == 1
         newly = is_conv & (self._first_conv == 0)
         self._first_conv[newly] = max(self.duration(), 1)
@@ -398,8 +406,8 @@ class LinkSampling(EngineBase):
         ys = (self.network.precision_y
               if len(self.network.precision_pairs)
               else self.network.validation_y)
-        scores = np.asarray(link_probs(self.gamma, self.lam,
-                                       jnp.asarray(pairs)))
+        eg, el = self._eval_arrays()
+        scores = np.asarray(link_probs(eg, el, jnp.asarray(pairs)))
         with open(self.cfg.file_str("auc.txt"), "w") as f:
             for y, s in zip(ys, scores):
                 f.write(f"{int(y)} {s:.3f}\n")
