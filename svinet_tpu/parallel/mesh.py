@@ -170,6 +170,107 @@ def init_distributed(coordinator: str = "", num_processes: int = 0,
                                    process_id=process_id)
 
 
+def make_sharded_svi_multi_step(mesh: Mesh, num_blocks_per_shard: int,
+                                max_iters: int, thresh: float,
+                                infthresh: float = 0.0,
+                                axis: str = "edges") -> Callable:
+    """Sharded natural-gradient SVI steps for the minibatch engines
+    (MMSBInfer rpair/rnode/stratified, FastAMM2): minibatch pairs sharded
+    across the mesh, gamma/lambda replicated, the per-shard sufficient
+    statistics gamma_hat (n,K) and lambda_hat (K,2) psum-reduced — the
+    TPU analog of the reference's ONLY parallel path, the pthread
+    map-reduce inside MMSBInfer (PhiRunner map at
+    src/mmsbinfer.cc:2459-2550, serial reduce at 1770-1827). B steps are
+    fused into one program (scan), matching svi_multi_step's signature
+    with batch arrays (B, nd*per, ...) sharded on axis 1."""
+
+    @functools.lru_cache(maxsize=None)
+    def build(n_steps: int):
+        def _local(gamma, lam, batch_pairs, batch_y, batch_w, alpha, eta,
+                   gscales, lscales, noderhots, rhots, do_lambdas,
+                   log_eps):
+            from svinet_tpu.ops.expectations import dirichlet_expectation
+            from svinet_tpu.svi.mmsb import pair_block_stats
+            import jax.numpy as jnp
+
+            def one(state, xs):
+                g, l = state
+                pairs, y, w, gs, ls, nr, rt, dl = xs
+                elogpi = dirichlet_expectation(g)
+                elogbeta = dirichlet_expectation(l)
+                if infthresh > 0.0:
+                    gp = g[pairs[:, 0]]
+                    gq = g[pairs[:, 1]]
+                    pip = gp / gp.sum(-1, keepdims=True)
+                    piq = gq / gq.sum(-1, keepdims=True)
+                    inf = (pip * piq).max(-1) >= infthresh
+                    w = jnp.where((y == 1) | inf, w, 0.0)
+                gacc, lacc = pair_block_stats(
+                    elogpi, elogbeta, pairs, y, w, num_blocks_per_shard,
+                    log_eps, max_iters, thresh)
+                # the only cross-chip traffic (the reference's reduce)
+                gacc = jax.lax.psum(gacc, axis)
+                lacc = jax.lax.psum(lacc, axis)
+                g = (1.0 - nr) * g + nr * (alpha + gs * gacc)
+                l = jnp.where(dl > 0, (1.0 - rt) * l + rt * (eta + ls * lacc),
+                              l)
+                return (g, l), None
+
+            (gamma, lam), _ = jax.lax.scan(
+                one, (gamma, lam),
+                (batch_pairs, batch_y, batch_w, gscales, lscales,
+                 noderhots, rhots, do_lambdas))
+            return gamma, lam
+
+        sharded = jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(), P(), P(None, axis), P(None, axis), P(None, axis),
+                      P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(sharded, donate_argnums=(0, 1))
+
+    def call(gamma, lam, batch_pairs, batch_y, batch_w, alpha, eta,
+             gscales, lscales, noderhots, rhots, do_lambdas, log_eps,
+             n_steps: int):
+        return build(int(n_steps))(
+            gamma, lam, batch_pairs, batch_y, batch_w, alpha, eta,
+            gscales, lscales, noderhots, rhots, do_lambdas, log_eps)
+
+    return call
+
+
+def make_sharded_batch_step(mesh: Mesh, num_blocks_per_shard: int,
+                            max_iters: int, thresh: float,
+                            axis: str = "edges") -> Callable:
+    """Sharded full coordinate-ascent pass for -batch: the all-pairs set
+    sharded across the mesh, gamma = alpha + psum(gamma_hat)
+    (reference: MMSBInfer::batch_infer, src/mmsbinfer.cc:833-930)."""
+
+    def _local(gamma, lam, pairs, y, w, alpha, eta, do_lambda, log_eps):
+        from svinet_tpu.ops.expectations import dirichlet_expectation
+        from svinet_tpu.svi.mmsb import pair_block_stats
+        import jax.numpy as jnp
+        elogpi = dirichlet_expectation(gamma)
+        elogbeta = dirichlet_expectation(lam)
+        gacc, lacc = pair_block_stats(
+            elogpi, elogbeta, pairs, y, w, num_blocks_per_shard,
+            log_eps, max_iters, thresh)
+        gacc = jax.lax.psum(gacc, axis)
+        lacc = jax.lax.psum(lacc, axis)
+        gamma = alpha + gacc
+        lam = jnp.where(do_lambda > 0, eta + lacc, lam)
+        return gamma, lam
+
+    sharded = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis),
+                  P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_rowsharded_sweep(mesh: Mesh, num_blocks_per_shard: int,
                           axis: str = "edges") -> Callable:
     """Link-sampling sweep with gamma ROW-SHARDED across the mesh — the

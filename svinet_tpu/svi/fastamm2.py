@@ -66,6 +66,33 @@ class FastAMM2(EngineBase):
         setsize = max(1, n // M_SETS)
         pad = max(max_deg, setsize, self._block)
         self._pad = ((pad + self._block - 1) // self._block) * self._block
+
+        # -mesh N: sample pairs sharded, stats psum'd (same sharded step
+        # as MMSBInfer — the engine reuses svi_multi_step's math)
+        self._mesh = None
+        if cfg.mesh_devices > 1:
+            import jax
+            from svinet_tpu.parallel.mesh import (
+                make_mesh, make_sharded_svi_multi_step,
+                device_put_replicated)
+            nd = cfg.mesh_devices
+            if nd > len(jax.devices()):
+                raise SystemExit(f"-mesh {nd} but only "
+                                 f"{len(jax.devices())} devices visible")
+            self._mesh = make_mesh(nd)
+            self._nd = nd
+            per = max(self._block,
+                      ((self._pad + nd - 1) // nd + self._block - 1)
+                      // self._block * self._block)
+            self._pad = per * nd
+            self._mesh_step = make_sharded_svi_multi_step(
+                self._mesh, per // self._block, cfg.online_iterations,
+                cfg.meanchangethresh)
+            (self.gamma, self.lam, self.alpha, self.eta,
+             self._log_eps_d) = device_put_replicated(
+                self._mesh, self.gamma, self.lam, self.alpha, self.eta,
+                jnp.float32(self.log_eps))
+            cfg.plog("mesh devices", nd)
         self.precision_pairs = network.precision_pairs
         self.precision_y = network.precision_y
 
@@ -139,6 +166,21 @@ class FastAMM2(EngineBase):
         from svinet_tpu.svi.mmsb import svi_multi_step
         cfg = self.cfg
         batches = [self._prepare(self.iteration + b) for b in range(count)]
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from svinet_tpu.parallel.mesh import global_put
+            shard = NamedSharding(self._mesh, P(None, "edges"))
+            rep = NamedSharding(self._mesh, P())
+            st = lambda i, dt, sp: global_put(
+                np.stack([b[i] for b in batches]).astype(dt), sp)
+            self.gamma, self.lam = self._mesh_step(
+                self.gamma, self.lam, st(0, np.int32, shard),
+                st(1, np.int32, shard), st(2, np.float32, shard),
+                self.alpha, self.eta, st(3, np.float32, rep),
+                st(4, np.float32, rep), st(5, np.float32, rep),
+                st(6, np.float32, rep), st(7, np.float32, rep),
+                self._log_eps_d, count)
+            return
         stack = lambda i, dt: jnp.asarray(
             np.stack([b[i] for b in batches]).astype(dt))
         self.gamma, self.lam = svi_multi_step(

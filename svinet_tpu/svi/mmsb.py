@@ -258,6 +258,32 @@ class MMSBInfer(EngineBase):
         self._lambda_start_iter = 0
         self._delaylearn_reported = False
         self._block = min(cfg.edge_block, 2048)
+
+        # -mesh N: minibatch pairs sharded across a device mesh,
+        # gamma/lambda replicated, sufficient statistics psum'd — the TPU
+        # equivalent of the reference's pthread map-reduce, which lived
+        # exactly here in MMSBInfer (src/mmsbinfer.cc:2400-2550)
+        self._mesh = None
+        if cfg.mesh_devices > 1:
+            if self._nonuniform:
+                raise SystemExit(
+                    "+ -nonuniform is single-device: its category caps "
+                    "are a sequential scan over the whole sample")
+            import jax
+            from svinet_tpu.parallel.mesh import (
+                make_mesh, device_put_replicated)
+            nd = cfg.mesh_devices
+            if nd > len(jax.devices()):
+                raise SystemExit(f"-mesh {nd} but only "
+                                 f"{len(jax.devices())} devices visible")
+            self._mesh = make_mesh(nd)
+            self._nd = nd
+            self._mesh_fns = {}
+            (self.gamma, self.lam, self.alpha, self.eta,
+             self._log_eps_d) = device_put_replicated(
+                self._mesh, self.gamma, self.lam, self.alpha, self.eta,
+                jnp.float32(self.log_eps))
+            cfg.plog("mesh devices", nd)
         self._lf = open(cfg.file_str("logl.txt"), "w") if cfg.logl else None
         self._mf = open(cfg.file_str("modularity.txt"), "w")
         self._elbo_cache = None
@@ -322,6 +348,17 @@ class MMSBInfer(EngineBase):
         return np.stack([lo, hi], 1).astype(np.int32), y, w
 
     # ------------------------------------------------------------------
+    def _pad_to(self, m: int) -> int:
+        """Pad a minibatch of m pairs to a whole number of edge blocks —
+        and, under -mesh, to nd equal per-shard block multiples."""
+        b = self._block
+        pt = max(b, ((m + b - 1) // b) * b)
+        if self._mesh is not None:
+            per = max(b, ((pt + self._nd - 1) // self._nd + b - 1)
+                      // b * b)
+            pt = per * self._nd
+        return pt
+
     def _prepare_minibatch(self, it: int):
         """Sample one minibatch + its schedule scalars; advances the host
         sampling state (family alternation, delaylearn bookkeeping)."""
@@ -331,8 +368,7 @@ class MMSBInfer(EngineBase):
             pairs, y, w = self._sample_rnode()
             scale = n / 2.0
             gscale = lscale = scale
-            pad_to = max(self._block,
-                         ((n + self._block - 1) // self._block) * self._block)
+            pad_to = self._pad_to(n)
         else:
             s = cfg.s
             fam = self._family if cfg.stratified else None
@@ -343,8 +379,7 @@ class MMSBInfer(EngineBase):
                 scale *= (cfg.ones_prob if self._family == 1
                           else cfg.zeros_prob)
             gscale = lscale = scale / len(pairs)
-            pad_to = max(self._block,
-                         ((s + self._block - 1) // self._block) * self._block)
+            pad_to = self._pad_to(s)
         if self._nonuniform:
             # device computes the rnode scale 3n/(2 n_processed); sign
             # flags the mode (see svi_step): > 0 rnode, <= 0 host scale
@@ -379,11 +414,34 @@ class MMSBInfer(EngineBase):
     def _step_minibatches(self, count: int) -> None:
         """Run `count` SVI steps with ONE device call: minibatches are
         sampled host-side (reference rng semantics preserved) and the
-        per-step updates scan on device."""
+        per-step updates scan on device. Under -mesh the pair axis is
+        sharded and the sufficient statistics psum'd (the reference's
+        pthread map-reduce, src/mmsbinfer.cc:2400-2550)."""
         cfg = self.cfg
         batches = [self._prepare_minibatch(self.iteration + b)
                    for b in range(count)]
         pad_to = batches[0][-1]
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from svinet_tpu.parallel.mesh import (
+                global_put, make_sharded_svi_multi_step)
+            shard = NamedSharding(self._mesh, P(None, "edges"))
+            rep = NamedSharding(self._mesh, P())
+            st = lambda i, dt, sp: global_put(
+                np.stack([b[i] for b in batches]).astype(dt), sp)
+            nbs = pad_to // self._nd // self._block
+            if nbs not in self._mesh_fns:
+                self._mesh_fns[nbs] = make_sharded_svi_multi_step(
+                    self._mesh, nbs, cfg.online_iterations,
+                    cfg.meanchangethresh, float(cfg.infthresh))
+            self.gamma, self.lam = self._mesh_fns[nbs](
+                self.gamma, self.lam, st(0, np.int32, shard),
+                st(1, np.int32, shard), st(2, np.float32, shard),
+                self.alpha, self.eta, st(3, np.float32, rep),
+                st(4, np.float32, rep), st(5, np.float32, rep),
+                st(6, np.float32, rep), st(7, np.float32, rep),
+                self._log_eps_d, count)
+            return
         stack = lambda i, dt: jnp.asarray(
             np.stack([b[i] for b in batches]).astype(dt))
         self.gamma, self.lam = svi_multi_step(
@@ -402,7 +460,8 @@ class MMSBInfer(EngineBase):
     def report(self) -> bool:
         stop = super().report()
         from svinet_tpu.evals.modularity import modularity
-        q, assor = modularity(self.gamma, *self._community_edges(),
+        eg, el = self._eval_arrays()
+        q, assor = modularity(eg, *self._community_edges(),
                               jnp.asarray(self.network.training_deg,
                                           jnp.float32))
         self._mf.write(f"{self.iteration}\t{self.duration()}\t"
@@ -411,7 +470,7 @@ class MMSBInfer(EngineBase):
         if self._lf is not None:
             from svinet_tpu.evals.elbo import approx_elbo
             pairs_d, y_d, w_d, nb = self._elbo_pairs()
-            s = approx_elbo(self.gamma, self.lam, pairs_d, y_d, w_d,
+            s = approx_elbo(eg, el, pairs_d, y_d, w_d,
                             jnp.float32(self.cfg.alpha), self.eta,
                             jnp.float32(self.log_eps), num_blocks=nb,
                             max_iters=self.cfg.online_iterations,
@@ -466,23 +525,47 @@ class MMSBInfer(EngineBase):
     def batch_infer(self) -> None:
         cfg = self.cfg
         pairs, y = self._all_training_pairs()
-        pp, mask = pad_edges(pairs, self._block)
-        yy = np.zeros(len(pp), np.int32)
+        pt = self._pad_to(len(pairs))
+        pp = np.zeros((pt, 2), np.int32)
+        yy = np.zeros(pt, np.int32)
+        mask = np.zeros(pt, np.float32)
+        pp[:len(pairs)] = pairs
         yy[:len(y)] = y
-        pairs_d = jnp.asarray(pp)
-        y_d = jnp.asarray(yy)
-        w_d = jnp.asarray(mask)
-        nb = len(pp) // self._block
-        do_lambda = jnp.float32(0.0 if cfg.nolambda else 1.0)
+        mask[:len(pairs)] = 1.0
+        if self._mesh is not None:
+            # all-pairs set sharded across the mesh; one psum per pass
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from svinet_tpu.parallel.mesh import (
+                global_put, make_sharded_batch_step)
+            shard = NamedSharding(self._mesh, P("edges"))
+            pairs_d = global_put(pp, shard)
+            y_d = global_put(yy, shard)
+            w_d = global_put(mask, shard)
+            step = make_sharded_batch_step(
+                self._mesh, pt // self._nd // self._block,
+                cfg.online_iterations, cfg.meanchangethresh)
+            from svinet_tpu.parallel.mesh import device_put_replicated
+            do_lambda, = device_put_replicated(
+                self._mesh, jnp.float32(0.0 if cfg.nolambda else 1.0))
+            sharded_step = lambda g, l: step(
+                g, l, pairs_d, y_d, w_d, self.alpha, self.eta,
+                do_lambda, self._log_eps_d)
+        else:
+            pairs_d = jnp.asarray(pp)
+            y_d = jnp.asarray(yy)
+            w_d = jnp.asarray(mask)
+            nb = pt // self._block
+            do_lambda = jnp.float32(0.0 if cfg.nolambda else 1.0)
+            sharded_step = lambda g, l: batch_step(
+                g, l, pairs_d, y_d, w_d, self.alpha, self.eta,
+                do_lambda, jnp.float32(self.log_eps), num_blocks=nb,
+                max_iters=cfg.online_iterations,
+                thresh=cfg.meanchangethresh)
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
                 return
-            self.gamma, self.lam = batch_step(
-                self.gamma, self.lam, pairs_d, y_d, w_d, self.alpha,
-                self.eta, do_lambda, jnp.float32(self.log_eps),
-                num_blocks=nb, max_iters=cfg.online_iterations,
-                thresh=cfg.meanchangethresh)
+            self.gamma, self.lam = sharded_step(self.gamma, self.lam)
             self.iteration += 1
             if self.iteration % cfg.reportfreq == 0:
                 if self.report():

@@ -249,3 +249,56 @@ def test_mesh_checkpoint_resume(tmp_path, monkeypatch):
     eng2.infer()
     assert eng2.iteration > it0
     assert np.isfinite(np.asarray(eng2.gamma)).all()
+
+
+@pytest.mark.parametrize("mode,outname", [
+    (["-batch"], "batch"),
+    (["-rnode"], "rnode"),
+    (["-stratified", "-rpair"], "snode"),
+])
+def test_cli_mesh_minibatch_engines_match_single(tmp_path, monkeypatch,
+                                                 mode, outname):
+    """-mesh 8 for the minibatch engines (MMSBInfer batch/rnode/
+    stratified-rpair): pairs sharded, gamma_hat/lambda_hat psum'd — must
+    match the single-device run with the same seed (the TPU analog of
+    the reference's pthread map-reduce, src/mmsbinfer.cc:2400-2550;
+    host-side sampling is identical, only the reduce order differs)."""
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    for label, extra in (("one", []), ("mesh", ["-mesh", "8"])):
+        rc = main(["-file", assort, "-n", "75", "-k", "4", *mode,
+                   "-label", f"{outname}{label}", "-seed", "1",
+                   "-max-iterations", "12", "-no-stop", "-rfreq", "6",
+                   *extra])
+        assert rc == 0
+
+    def load(label):
+        d = next(tmp_path.glob(f"n75-k4-{outname}{label}-seed1-*"))
+        rows = [l.split() for l in open(d / "gamma.txt") if l.strip()]
+        return np.array([[float(v) for v in r[2:]] for r in rows])
+
+    np.testing.assert_allclose(load("mesh"), load("one"), rtol=5e-4,
+                               atol=5e-3)
+
+
+def test_cli_mesh_fastamm2_matches_single(tmp_path, monkeypatch):
+    """-stratified -rnode (FastAMM2) under -mesh 8 matches the
+    single-device run (same sampled sets, psum'd statistics)."""
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    for label, extra in (("fa2one", []), ("fa2mesh", ["-mesh", "8"])):
+        rc = main(["-file", assort, "-n", "75", "-k", "4",
+                   "-stratified", "-rnode", "-label", label, "-seed", "1",
+                   "-max-iterations", "12", "-no-stop", "-rfreq", "6",
+                   *extra])
+        assert rc == 0
+
+    def load(label):
+        d = next(tmp_path.glob(f"n75-k4-{label}-seed1-*"))
+        rows = [l.split() for l in open(d / "gamma.txt") if l.strip()]
+        return np.array([[float(v) for v in r[2:]] for r in rows])
+
+    np.testing.assert_allclose(load("fa2mesh"), load("fa2one"),
+                               rtol=5e-4, atol=5e-3)
