@@ -7,9 +7,13 @@ src/linksampling.cc:763-766) and `-load <dir>` to resume from them
 surface AND adds a native orbax checkpoint of the full engine state
 (device arrays + host counters).
 
-Multi-host note: only process 0 writes (per-process gating below); the
-row-sharded large-n path should hand jax.Arrays to orbax directly rather
-than np.asarray-ing them — single-host state is what this covers today.
+Sharded state is handed to orbax AS jax.Arrays — orbax writes each shard
+from the device that holds it, so a gamma row-sharded across the mesh
+(the n=1M/K=500 stretch regime) is never gathered into one host buffer.
+Restores accept an optional {name: Sharding} map and come back directly
+in that device layout (shapes/dtypes read from the checkpoint metadata).
+Multi-process runs keep replicated state (the supported mode); process 0
+converts its local replica and writes alone.
 """
 
 from __future__ import annotations
@@ -44,11 +48,21 @@ def save_checkpoint(outdir: str, state: Dict[str, Any], step: int) -> str:
     interrupted save can never leave an unreadable pointer; old steps
     beyond KEEP_LAST are pruned."""
     path = os.path.abspath(os.path.join(outdir, "ckpt"))
-    if not _is_primary():
+    multiproc = jax.process_count() > 1
+    if multiproc and not _is_primary():
+        # replicated multi-host state: process 0 writes for everyone
         return path
     os.makedirs(path, exist_ok=True)
-    arrays = {k: np.asarray(v) for k, v in state.items()
-              if isinstance(v, (jax.Array, np.ndarray))}
+    arrays: Dict[str, Any] = {}
+    for k, v in state.items():
+        if isinstance(v, jax.Array):
+            # single-process: hand the (possibly sharded) jax.Array to
+            # orbax untouched — each shard streams from its own device,
+            # no host gather. Multi-process state is replicated, so the
+            # local replica read is exact.
+            arrays[k] = np.asarray(v) if (multiproc or not _HAVE_ORBAX) else v
+        elif isinstance(v, np.ndarray):
+            arrays[k] = v
     scalars = {k: v for k, v in state.items()
                if not isinstance(v, (jax.Array, np.ndarray))}
     if _HAVE_ORBAX:
@@ -56,7 +70,8 @@ def save_checkpoint(outdir: str, state: Dict[str, Any], step: int) -> str:
         ckptr.save(os.path.join(path, str(step)), arrays, force=True)
         ckptr.wait_until_finished()
     else:
-        np.savez(os.path.join(path, f"{step}.npz"), **arrays)
+        np.savez(os.path.join(path, f"{step}.npz"),
+                 **{k: np.asarray(v) for k, v in arrays.items()})
     with open(os.path.join(path, f"{step}.meta.json.tmp"), "w") as f:
         json.dump(scalars, f)
     os.replace(os.path.join(path, f"{step}.meta.json.tmp"),
@@ -107,10 +122,36 @@ def latest_step(outdir: str) -> Optional[int]:
     return None
 
 
-def load_checkpoint(outdir: str, step: Optional[int] = None
+def _orbax_restore(ckptr, path: str, shardings: Optional[Dict[str, Any]]):
+    """Metadata-driven restore: build an abstract target from the saved
+    shapes/dtypes so arrays named in `shardings` come back already laid
+    out on their mesh (no replicated staging copy) and the rest come back
+    as plain numpy."""
+    try:
+        md = ckptr.metadata(path).item_metadata
+        tree = dict(md.tree) if hasattr(md, "tree") else dict(md)
+        target: Dict[str, Any] = {}
+        for k, m in tree.items():
+            sh = (shardings or {}).get(k)
+            if sh is not None:
+                target[k] = jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                                 sharding=sh)
+            else:
+                target[k] = np.zeros(tuple(m.shape), m.dtype)
+        return ckptr.restore(path, target)
+    except Exception:
+        # topology drift / metadata surprises: plain restore still works
+        # (orbax warns; arrays land replicated or as numpy)
+        return ckptr.restore(path)
+
+
+def load_checkpoint(outdir: str, step: Optional[int] = None,
+                    shardings: Optional[Dict[str, Any]] = None
                     ) -> Optional[Dict[str, Any]]:
-    """Restore the state dict saved by save_checkpoint (numpy arrays +
-    scalars merged); None when no checkpoint exists."""
+    """Restore the state dict saved by save_checkpoint (scalars merged).
+    `shardings` maps array names to jax Shardings; named arrays restore
+    straight into that device layout, everything else as numpy. Returns
+    None when no checkpoint exists."""
     if step is None:
         step = latest_step(outdir)
     if step is None:
@@ -122,12 +163,17 @@ def load_checkpoint(outdir: str, step: Optional[int] = None
         meta = json.load(open(mp))
     if _HAVE_ORBAX and os.path.isdir(os.path.join(path, str(step))):
         ckptr = ocp.StandardCheckpointer()
-        arrays = ckptr.restore(os.path.join(path, str(step)))
+        arrays = _orbax_restore(ckptr, os.path.join(path, str(step)),
+                                shardings)
     else:
         npz = os.path.join(path, f"{step}.npz")
         if not os.path.exists(npz):
             return None
         arrays = dict(np.load(npz))
+        if shardings:
+            arrays = {k: (jax.device_put(v, shardings[k])
+                          if k in shardings else v)
+                      for k, v in arrays.items()}
     out: Dict[str, Any] = dict(arrays)
     out.update(meta)
     return out

@@ -201,10 +201,19 @@ class EngineBase:
                 "iteration": self.iteration}
 
     def _restore_state(self, state) -> None:
-        import jax.numpy as jnp
-        self.gamma = jnp.asarray(state["gamma"])
-        self.lam = jnp.asarray(state["lam"])
+        import jax
+        # already-sharded jax.Arrays (restored onto their mesh layout by
+        # io/checkpoint.py) pass through untouched
+        self.gamma = (state["gamma"] if isinstance(state["gamma"], jax.Array)
+                      else jnp.asarray(state["gamma"]))
+        self.lam = (state["lam"] if isinstance(state["lam"], jax.Array)
+                    else jnp.asarray(state["lam"]))
         self.iteration = int(state["iteration"])
+
+    def _ckpt_shardings(self):
+        """{array name: jax Sharding} for restoring state straight into
+        its device layout; engines running on a mesh override this."""
+        return None
 
     def save_checkpoint(self) -> None:
         from svinet_tpu.io.checkpoint import save_checkpoint
@@ -216,7 +225,8 @@ class EngineBase:
         (the reference's -load reads the TSV model instead,
         src/linksampling.cc:1266-1352 — both paths are supported)."""
         from svinet_tpu.io.checkpoint import load_checkpoint
-        state = load_checkpoint(self.cfg.outdir)
+        state = load_checkpoint(self.cfg.outdir,
+                                shardings=self._ckpt_shardings())
         if state is None:
             return False
         self._restore_state(state)

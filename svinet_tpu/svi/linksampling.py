@@ -210,6 +210,7 @@ class LinkSampling(EngineBase):
                     "+ -mesh-rowshard is single-host only for now: the "
                     "report/community paths read gamma back to every "
                     "host, which needs a cross-host allgather")
+            repl = NamedSharding(mesh, P())
             if rowshard:
                 # large-n: gamma/deg row-sharded, Elogpi all_gathered
                 from svinet_tpu.parallel.mesh import global_put
@@ -219,11 +220,13 @@ class LinkSampling(EngineBase):
                 self.gamma = global_put(self.gamma, row)
                 self.deg = global_put(self.deg, row)
                 self.lam, = device_put_replicated(mesh, self.lam)
+                self._mesh_shardings = {"gamma": row, "lam": repl}
             else:
                 self._mesh_sweep = make_sharded_multi_sweep(
                     mesh, per_shard // block)
                 self.gamma, self.lam, self.deg = device_put_replicated(
                     mesh, self.gamma, self.lam, self.deg)
+                self._mesh_shardings = {"gamma": repl, "lam": repl}
             self.consts = LSConsts(*device_put_replicated(
                 mesh, *self.consts))
             del self._ce_cache      # communities rebuild a local pad
@@ -269,6 +272,12 @@ class LinkSampling(EngineBase):
     def _restore_state(self, state) -> None:
         super()._restore_state(state)
         self.annealing = bool(state.get("annealing", False))
+
+    def _ckpt_shardings(self):
+        """Under -mesh, restore gamma/lam straight onto the mesh layout
+        (row-sharded gamma in -mesh-rowshard mode) — the state never
+        stages through a single replicated host buffer."""
+        return getattr(self, "_mesh_shardings", None)
 
     # ------------------------------------------------------------------
     def step(self, n_sweeps: int = 1) -> None:

@@ -221,6 +221,46 @@ def test_cli_mesh_rowshard_matches_single_device(tmp_path, monkeypatch):
                                atol=2e-3)
 
 
+def test_rowshard_checkpoint_stays_sharded(tmp_path, monkeypatch):
+    """-mesh-rowshard checkpoints: gamma is handed to orbax as the
+    row-sharded jax.Array (no host gather) and restores straight onto the
+    row sharding — the large-n regime where n*K exceeds one host's RAM."""
+    import jax
+    from svinet_tpu.cli import parse_args
+    from svinet_tpu.graph import Network
+    from svinet_tpu.svi.linksampling import LinkSampling
+    from svinet_tpu.io.checkpoint import load_checkpoint
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    args = ["-file", assort, "-n", "75", "-k", "4", "-link-sampling",
+            "-mesh", "5", "-mesh-rowshard", "-label", "rsck", "-seed", "1",
+            "-no-stop", "-rfreq", "4"]
+    cfg = parse_args(args + ["-max-iterations", "8"])
+    net = Network(cfg)
+    net.read(cfg.datfname)
+    eng = LinkSampling(cfg, net)
+    eng.infer()
+    assert "edges" in str(eng.gamma.sharding.spec)   # still row-sharded
+    eng.save_checkpoint()
+    g_saved = np.asarray(eng.gamma)
+
+    # restore WITH the mesh shardings: gamma comes back row-sharded
+    state = load_checkpoint(cfg.outdir, shardings=eng._mesh_shardings)
+    g = state["gamma"]
+    assert isinstance(g, jax.Array)
+    assert g.sharding == eng._mesh_shardings["gamma"]
+    np.testing.assert_allclose(np.asarray(g), g_saved, rtol=0, atol=0)
+
+    # full resume path keeps the layout and keeps training
+    cfg2 = parse_args(args + ["-resume", "-max-iterations", "16"])
+    net2 = Network(cfg2)
+    net2.read(cfg2.datfname)
+    eng2 = LinkSampling(cfg2, net2)
+    assert eng2.gamma.sharding == eng._mesh_shardings["gamma"]
+    eng2.infer()
+    assert np.isfinite(np.asarray(eng2.gamma)).all()
+
+
 def test_mesh_checkpoint_resume(tmp_path, monkeypatch):
     """-mesh + checkpoint resume: restored (unsharded) state must be
     accepted by the sharded sweep (GSPMD resharding on first step)."""
