@@ -15,7 +15,7 @@ from svinet_tpu.cli import parse_args
 from svinet_tpu.graph import Network
 
 
-@pytest.mark.parametrize("seed", [1])
+@pytest.mark.parametrize("seed", [1, 2])
 def test_lfr_linksampling_nmi_parity(tmp_path, lfr_paths, seed, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = parse_args([
@@ -42,6 +42,30 @@ def test_lfr_linksampling_nmi_parity(tmp_path, lfr_paths, seed, monkeypatch):
     maxrow = open(cfg.file_str("max.txt")).read().split()
     best_nshol = float(maxrow[4])
     assert -0.125 < best_nshol < -0.10, f"nshol out of range: {best_nshol}"
+
+
+@pytest.mark.slow
+def test_astroph_linksampling_parity(tmp_path, monkeypatch):
+    """ca-AstroPh n=17903 k=20 link-sampling, heldout 2% — the headline
+    config. The reference rebuilt on this machine reaches best nshol
+    -0.0089..-0.0092 across seeds (BASELINE.md); ours lands around
+    -0.0088 on TPU and must stay better than -0.0105 here. Marked slow
+    (several minutes on the CPU mesh); run with RUN_SLOW=1."""
+    monkeypatch.chdir(tmp_path)
+    cfg = parse_args([
+        "-file", "/root/reference/example/ca-AstroPh.csv",
+        "-n", "17903", "-k", "20", "-link-sampling",
+        "-heldout-ratio", "0.02", "-seed", "1", "-label", "astro",
+        "-max-iterations", "150",
+    ])
+    net = Network(cfg)
+    net.read(cfg.datfname)
+    from svinet_tpu.svi.linksampling import LinkSampling
+    eng = LinkSampling(cfg, net)
+    eng.infer()
+    maxrow = open(cfg.file_str("max.txt")).read().split()
+    best_nshol = float(maxrow[4])
+    assert best_nshol > -0.0105, f"nshol regressed: {best_nshol}"
 
 
 def test_assort_batch_likelihood_parity(tmp_path, assort_path, monkeypatch):
