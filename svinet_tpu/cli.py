@@ -112,6 +112,12 @@ def parse_args(argv: List[str]) -> Config:
             cfg.dist_procid = int(nxt())
         elif a == "-freeze":
             cfg.freeze_converged = True
+        elif a == "-anneal-drawdown":
+            cfg.anneal_drawdown = float(nxt())
+        elif a == "-anneal-plateau-rate":
+            cfg.anneal_plateau_rate = float(nxt())
+        elif a == "-findk-width":
+            cfg.findk_width = int(nxt())
         elif a == "-infset":
             cfg.informative_sampling = True
         elif a == "-preprocess":

@@ -121,6 +121,15 @@ class Config:
     freeze_converged: bool = False  # -freeze: reference's converged-node
                                     # hard assignments (consolidates
                                     # communities when K overshoots)
+    # annealing-phase exit thresholds (LinkSampling.report; defaults were
+    # tuned on assort/LFR/ca-AstroPh, sensitivity table in README §annealing)
+    anneal_drawdown: float = 0.08   # relative nshol drop below best that
+                                    # marks a regressing anneal
+    anneal_plateau_rate: float = 1e-6  # per-iteration relative-change rate
+                                       # that counts as a genuine plateau
+    findk_width: int = 0            # -findk sparse slots per node
+                                    # (0 = min(max degree, 64); study in
+                                    # README §findk-width)
     # multi-host bring-up (jax.distributed); env vars are the fallback so
     # a launcher can export them once per host instead of editing flags
     dist_coordinator: str = field(

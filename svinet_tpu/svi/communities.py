@@ -10,6 +10,7 @@ step runs host-side in numpy.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List
 
 import jax
@@ -19,15 +20,42 @@ import numpy as np
 from svinet_tpu.ops.expectations import dirichlet_expectation
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("num_blocks",))
+def _edge_assignments_blocked(gamma, lam, edges, num_blocks: int):
+    elogpi = dirichlet_expectation(gamma)
+    elogb0 = dirichlet_expectation(lam)[:, 0]
+
+    def body(carry, blk):
+        logits = elogpi[blk[:, 0]] + elogpi[blk[:, 1]] + elogb0
+        phi = jax.nn.softmax(logits, axis=-1)
+        return carry, (jnp.argmax(phi, axis=-1).astype(jnp.int32),
+                       jnp.max(phi, axis=-1))
+
+    _, (am, mx) = jax.lax.scan(body, 0,
+                               edges.reshape(num_blocks, -1, 2))
+    return am.reshape(-1), mx.reshape(-1)
+
+
 def edge_assignments(gamma, lam, edges, mask):
     """Per-edge argmax_k phi and max phi for the closed-form phi
-    (phi_k proportional to exp(Elogpi_p + Elogpi_q + Elogbeta_k0))."""
-    elogpi = dirichlet_expectation(gamma)
-    elogbeta = dirichlet_expectation(lam)
-    logits = elogpi[edges[:, 0]] + elogpi[edges[:, 1]] + elogbeta[:, 0]
-    phi = jax.nn.softmax(logits, axis=-1)
-    return jnp.argmax(phi, axis=-1).astype(jnp.int32), jnp.max(phi, axis=-1)
+    (phi_k proportional to exp(Elogpi_p + Elogpi_q + Elogbeta_k0)).
+
+    Blocked scan: the (E, K) phi intermediate never materializes — at the
+    n=1M/k=500 stretch a flat pass would need ~tens of GB of HBM. Blocks
+    hold ~64M floats; edges are padded up to a whole number of blocks
+    (mask filtering happens in extract_communities, so the padding rows
+    are harmless)."""
+    e = edges.shape[0]
+    k = int(gamma.shape[1])
+    block = max(1, min(e, (1 << 26) // max(k, 1)))
+    num_blocks = -(-e // block)
+    pad = num_blocks * block - e
+    if pad:
+        edges = jnp.concatenate(
+            [jnp.asarray(edges),
+             jnp.zeros((pad, 2), jnp.asarray(edges).dtype)])
+    am, mx = _edge_assignments_blocked(gamma, lam, edges, num_blocks)
+    return am[:e], mx[:e]
 
 
 def extract_communities(argmax: np.ndarray, maxval: np.ndarray,

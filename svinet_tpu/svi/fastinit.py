@@ -123,10 +123,15 @@ def _overlap_block(ids, pi, pairs):
     return ssum, max_val, max_id
 
 
-def overlap_stats(ids, pi, pairs, block: int = 2048):
+def overlap_stats(ids, pi, pairs, block: int = 0):
     """Blocked overlap stats: the (B, w, w) intermediate is bounded to
     block*w*w floats regardless of the edge count. The last chunk is
-    padded to the block size so only one program compiles."""
+    padded to the block size so only one program compiles. The default
+    block scales inversely with width^2 so wide runs (-findk-width) keep
+    the intermediate near 32M floats."""
+    if block == 0:
+        w = int(ids.shape[1])
+        block = max(64, min(2048, (1 << 25) // max(w * w, 1)))
     pairs = jnp.asarray(pairs)
     m = pairs.shape[0]
     if m <= block:
@@ -154,8 +159,10 @@ class FastInit(EngineBase):
         # the reference keeps max-degree-many sparse slots per node
         # (src/main.cc:321-327); beyond ~64 the tail of the vote
         # distribution never wins, so cap the width to bound the
-        # O(width^2) overlap tensors on big skewed graphs
-        self.width = min(max(int(network.deg.max()), 2), 64)
+        # O(width^2) overlap tensors on big skewed graphs. -findk-width
+        # overrides (width study on ca-AstroPh: README §findk-width).
+        self.width = (cfg.findk_width if cfg.findk_width > 0
+                      else min(max(int(network.deg.max()), 2), 64))
         self.labels = jnp.arange(n, dtype=jnp.int32)
         from svinet_tpu.ops.edges import pad_edges
         e, m = pad_edges(network.training_links, cfg.edge_block)

@@ -103,6 +103,13 @@ def linksampling_multi_sweep(gamma, lam, edges, mask, deg,
     return jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
 
 
+@jax.jit
+def _active_counts(gamma, alpha):
+    """Per-node count of communities with gamma - alpha >= 1 (the
+    reference's convergence test, src/linksampling.cc:456-475)."""
+    return (gamma - alpha >= 1.0).sum(axis=1).astype(jnp.int32)
+
+
 def init_gamma_from_communities(members, deg: np.ndarray, n: int, k: int,
                                 alpha: float) -> np.ndarray:
     """-init-communities: gamma_p = alpha + deg_p * phi_p where phi_p is
@@ -343,12 +350,16 @@ class LinkSampling(EngineBase):
             #       while a genuinely regressing anneal (K far above the
             #       true community count, where the per-column scale
             #       splits real blocks) digs past 8% and keeps going.
+            # Both thresholds are configurable (-anneal-drawdown /
+            # -anneal-plateau-rate); the sensitivity study in the README
+            # varies them 2x either way on the three tuning graphs.
             genuine_plateau = (self._last_stop_raw
                                and self.stopper.why == 100
                                and self._anneal_plateau())
             mx = self.stopper.max_h
             drawdown = (mx - self.stopper.prev_h) / abs(mx) if mx else 0.0
-            regressing = self.stopper.since_max >= 2 and drawdown > 0.08
+            regressing = (self.stopper.since_max >= 2
+                          and drawdown > self.cfg.anneal_drawdown)
             if (genuine_plateau or regressing
                     or self.iteration >= 1000):   # runaway backstop
                 self.annealing = False
@@ -373,7 +384,7 @@ class LinkSampling(EngineBase):
         a, b, c = h
         if a == 0 or b == 0:
             return False
-        thresh = 1e-6 * max(1, self.cfg.reportfreq)
+        thresh = self.cfg.anneal_plateau_rate * max(1, self.cfg.reportfreq)
         return abs((c - b) / b) < thresh and abs((b - a) / a) < thresh
 
     def _log_convergence(self) -> None:
@@ -386,9 +397,17 @@ class LinkSampling(EngineBase):
         if not hasattr(self, "_convf"):
             self._convf = open(self.cfg.file_str("convergence.txt"), "w")
             self._first_conv = np.zeros(self.n, np.int64)
-        # host numpy (self.gamma may be a multi-host global array; eager
-        # jnp ops on those raise — np.asarray of replicated state is fine)
-        active = (np.asarray(self.gamma) - self.cfg.alpha >= 1.0).sum(axis=1)
+        # the count reduction runs on device so only (n,) int8 crosses the
+        # host link — at the n=1M/k=500 stretch a host gather of gamma is
+        # 2 GB per report. Multi-host global arrays reject eager jnp ops,
+        # so that path falls back to the replicated host copy.
+        import jax
+        if jax.process_count() == 1:
+            active = np.asarray(_active_counts(self.gamma,
+                                               jnp.float32(self.cfg.alpha)))
+        else:
+            active = (np.asarray(self.gamma) - self.cfg.alpha
+                      >= 1.0).sum(axis=1)
         is_conv = active == 1
         newly = is_conv & (self._first_conv == 0)
         self._first_conv[newly] = max(self.duration(), 1)
