@@ -57,6 +57,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.svinet_write_edges_tsv.restype = ctypes.c_int
         lib.svinet_write_edges_tsv.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        if hasattr(lib, "svinet_write_matrix_tsv_extra"):
+            lib.svinet_write_matrix_tsv_extra.restype = ctypes.c_int
+            lib.svinet_write_matrix_tsv_extra.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64)]
         if hasattr(lib, "svinet_preprocess_neighbors"):
             lib.svinet_preprocess_neighbors.restype = ctypes.c_int
             lib.svinet_preprocess_neighbors.argtypes = [
@@ -105,6 +112,28 @@ def write_matrix_tsv(path: str, m: np.ndarray,
     rc = lib.svinet_write_matrix_tsv(
         path.encode(), m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n, k, ids, decimals)
+    return rc == 0
+
+
+def write_matrix_tsv_extra(path: str, m: np.ndarray,
+                           ext_ids: Optional[np.ndarray],
+                           extra: np.ndarray, decimals: int = 3) -> bool:
+    """`<seq>\\t<ext>\\t<vals...>\\t<extra>` writer (groups.txt schema);
+    returns False if the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "svinet_write_matrix_tsv_extra"):
+        return False
+    m = np.ascontiguousarray(m, np.float32)
+    n, k = m.shape
+    ids = None
+    if ext_ids is not None:
+        ids_arr = np.ascontiguousarray(ext_ids, np.int64)
+        ids = ids_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    extra_arr = np.ascontiguousarray(extra, np.int64)
+    rc = lib.svinet_write_matrix_tsv_extra(
+        path.encode(), m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, k, ids, decimals,
+        extra_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return rc == 0
 
 

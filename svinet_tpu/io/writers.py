@@ -76,6 +76,11 @@ def write_groups(path: str, gamma: np.ndarray, seq2id: np.ndarray,
     gamma = np.asarray(gamma)
     pi = gamma / gamma.sum(axis=1, keepdims=True)
     arg = pi.argmax(axis=1)
+    if with_argmax:
+        from svinet_tpu.io.native import write_matrix_tsv_extra
+        if write_matrix_tsv_extra(path, pi, np.asarray(seq2id), arg,
+                                  decimals=3):
+            return
     with open(path, "w") as f:
         for i in range(gamma.shape[0]):
             vals = "\t".join(f"{v:.3f}" for v in pi[i])

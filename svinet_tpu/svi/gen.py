@@ -82,6 +82,54 @@ def draw_network(key, pi: np.ndarray, beta: np.ndarray, eps: float,
     return edges
 
 
+def draw_network_sparse(rng: np.random.Generator, pi: np.ndarray,
+                        beta: np.ndarray, eps: float) -> np.ndarray:
+    """Sparse a-MMSB draw for large n — never enumerates the n^2 pairs.
+
+    Per-community Poisson thinning (the Ball-Karrer-Newman Poisson
+    multigraph construction): community k contributes
+    m_k ~ Poisson(beta_k * (S_k^2 - sum_p pi_pk^2) / 2) candidate edges,
+    each endpoint drawn iid proportional to pi[:,k]; self-loops dropped,
+    duplicates deduped. For the small per-pair rates the generator is
+    used with (beta_k * pi_pk * pi_qk << 1), this matches the reference's
+    exact Bernoulli pair draw (reference: MMSBGen::draw_and_save,
+    src/mmsbgen.cc:662-697) to O(rate^2). The epsilon cross-community
+    term is ignored; with the default eps=1e-30 its expected edge count
+    is ~0 on any graph that fits in memory (asserted below).
+
+    Returns (E,2) int32 canonical (p<q) deduped edges.
+    """
+    n, k = pi.shape
+    total_pairs = n * (n - 1) / 2.0
+    if eps * total_pairs > 0.5:
+        raise ValueError(
+            f"sparse generator ignores the eps cross term but "
+            f"eps*pairs = {eps * total_pairs:.2g} expected edges")
+    out = []
+    pi64 = pi.astype(np.float64, copy=False)
+    s = pi64.sum(axis=0)
+    t = (pi64 * pi64).sum(axis=0)
+    lam = np.maximum(beta * (s * s - t) / 2.0, 0.0)
+    m = rng.poisson(lam)
+    for c in range(k):
+        if m[c] == 0:
+            continue
+        cdf = np.cumsum(pi64[:, c])
+        draws = np.searchsorted(
+            cdf, rng.random(2 * int(m[c])) * cdf[-1], side="right")
+        draws = np.minimum(draws, n - 1).astype(np.int32)
+        p, q = draws[::2], draws[1::2]
+        keep = p != q
+        p, q = p[keep], q[keep]
+        out.append(np.stack([np.minimum(p, q), np.maximum(p, q)], axis=1))
+    if not out:
+        return np.zeros((0, 2), np.int32)
+    edges = np.concatenate(out, axis=0)
+    keys = edges[:, 0].astype(np.int64) * n + edges[:, 1]
+    _, idx = np.unique(keys, return_index=True)
+    return edges[np.sort(idx)]
+
+
 def local_clustering_avg(n: int, edges: np.ndarray) -> float:
     """Average local clustering coefficient, computed natively (the
     reference shells out to SNAP nstat). Triangle counting via sorted
@@ -145,6 +193,17 @@ class MMSBGen:
         cfg = self.cfg
         cfg.make_outdir()
         rng = np.random.default_rng(cfg.seed)
+        # beyond ~64k nodes the dense per-pair draw is infeasible (the
+        # reference's generator is O(n^2), src/mmsbgen.cc:662-697); the
+        # sparse Poisson-thinned draw scales to the n=1M stretch config
+        sparse = self.n > 65536
+
+        def _draw(pi, beta):
+            if sparse:
+                print(f"+ sparse generator (n={self.n} > 65536)")
+                return draw_network_sparse(rng, pi, beta, cfg.epsilon)
+            return draw_network(self.key, pi, beta, cfg.epsilon)
+
         if cfg.orig:
             alpha = 1.0 / self.k
             pi = rng.dirichlet(np.full(self.k, alpha), size=self.n)
@@ -152,7 +211,7 @@ class MMSBGen:
             # full-blockmodel draw: z_p != z_q pairs link with prob eps.
             # Assortative diag means the a-MMSB sampler with per-k rates
             # beta_k and cross-rate eps generates exactly this model.
-            edges = draw_network(self.key, pi, beta, cfg.epsilon)
+            edges = _draw(pi, beta)
             with open(cfg.file_str("beta-gen-matrix.txt"), "w") as f:
                 for g in range(self.k):
                     row = [cfg.epsilon] * self.k
@@ -168,20 +227,27 @@ class MMSBGen:
                 # disjoint branch, src/mmsbgen.hh:151-170)
                 hard = np.eye(self.k)[pi.argmax(1)]
                 pi = 0.999 * hard + 0.001 / self.k
-            edges = draw_network(self.key, pi, beta, cfg.epsilon)
-        with open(cfg.file_str("network_gen.dat"), "w") as f:
-            for p, q in edges:
-                f.write(f"{p}\t{q}\n")
+            edges = _draw(pi, beta)
+        from svinet_tpu.io.native import write_edges_tsv
+        if not write_edges_tsv(cfg.file_str("network_gen.dat"),
+                               edges.astype(np.int64)):
+            with open(cfg.file_str("network_gen.dat"), "w") as f:
+                for p, q in edges:
+                    f.write(f"{p}\t{q}\n")
         self._save_pi_beta(pi, beta)
         self._write_groups(pi)
         print(f"+ generated network: n={self.n}, ones={len(edges)}")
 
     def _save_pi_beta(self, pi, beta) -> None:
         cfg = self.cfg
-        with open(cfg.file_str("pi-gen.txt"), "w") as f:
-            for i in range(self.n):
-                vals = "\t".join(f"{v:.5f}" for v in pi[i])
-                f.write(f"{i}\t{i}\t{vals}\n")
+        from svinet_tpu.io.native import write_matrix_tsv
+        if not write_matrix_tsv(cfg.file_str("pi-gen.txt"),
+                                np.asarray(pi, np.float32), None,
+                                decimals=5):
+            with open(cfg.file_str("pi-gen.txt"), "w") as f:
+                for i in range(self.n):
+                    vals = "\t".join(f"{v:.5f}" for v in pi[i])
+                    f.write(f"{i}\t{i}\t{vals}\n")
         with open(cfg.file_str("beta-gen.txt"), "w") as f:
             for k in range(self.k):
                 f.write(f"{k}\t{beta[k]:.5f}\n")
@@ -189,10 +255,14 @@ class MMSBGen:
     def _write_groups(self, pi) -> None:
         cfg = self.cfg
         groups = pi.argmax(1)
-        with open(cfg.file_str("groups.txt"), "w") as f:
-            for i in range(self.n):
-                vals = "\t".join(f"{v:.5f}" for v in pi[i])
-                f.write(f"{i}\t{i}\t{vals}\t{groups[i]}\n")
+        from svinet_tpu.io.native import write_matrix_tsv_extra
+        if not write_matrix_tsv_extra(cfg.file_str("groups.txt"),
+                                      np.asarray(pi, np.float32), None,
+                                      groups, decimals=5):
+            with open(cfg.file_str("groups.txt"), "w") as f:
+                for i in range(self.n):
+                    vals = "\t".join(f"{v:.5f}" for v in pi[i])
+                    f.write(f"{i}\t{i}\t{vals}\t{groups[i]}\n")
         with open(cfg.file_str("summary.txt"), "a") as f:
             counts = np.bincount(groups, minlength=self.k)
             f.write("\t".join(str(c) for c in counts) + "\n")

@@ -49,3 +49,37 @@ def test_edge_colors_argmax():
     colors, mx = _edge_colors(pi, beta, edges)
     assert int(colors[0]) == 0
     assert 0.5 < float(mx[0]) <= 1.0
+
+
+def test_draw_network_sparse_matches_dense_statistics():
+    """The Poisson-thinned sparse draw (draw_network_sparse) must track
+    the same expected density as the dense per-pair draw, without ever
+    enumerating the n^2 pairs, and must respect community structure."""
+    from svinet_tpu.svi.gen import draw_network_sparse
+    rng = np.random.default_rng(1)
+    n, k = 600, 6
+    pi = rng.dirichlet(np.full(k, 0.05), size=n)
+    beta = np.full(k, 0.05)   # small rates: Poisson ~ Bernoulli regime
+    edges = draw_network_sparse(rng, pi, beta, 1e-30)
+    assert (edges[:, 0] < edges[:, 1]).all()
+    keys = edges[:, 0].astype(np.int64) * n + edges[:, 1]
+    assert len(np.unique(keys)) == len(edges)   # deduped
+    ip = pi @ (pi * beta).T
+    exp = ip[np.triu_indices(n, 1)].sum()
+    assert abs(len(edges) - exp) < 5 * np.sqrt(exp)
+    # assortativity: endpoints share a dominant community far more often
+    # than random pairs would
+    dom = pi.argmax(1)
+    agree = (dom[edges[:, 0]] == dom[edges[:, 1]]).mean()
+    assert agree > 0.6   # random pairing would give ~1/k ~ 0.17
+
+
+def test_draw_network_sparse_rejects_fat_epsilon():
+    from svinet_tpu.svi.gen import draw_network_sparse
+    rng = np.random.default_rng(0)
+    pi = rng.dirichlet(np.full(3, 0.1), size=50)
+    try:
+        draw_network_sparse(rng, pi, np.full(3, 0.1), 0.5)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -156,3 +156,37 @@ def test_native_preprocess_matches_python(tmp_path, assort_path):
     a = open(p_native, "rb").read()
     b = open(cfg2.file_str("neighbors.bin"), "rb").read()
     assert a == b
+
+
+def test_native_writers_match_python(tmp_path):
+    """The parallel fixed-decimal TSV writers (native/ingest.cpp
+    write_matrix_impl) produce the same rows as the Python fallbacks in
+    io/writers.py — including the groups.txt trailing argmax column."""
+    import svinet_tpu.io.native as nat
+    if not nat.have_native():
+        pytest.skip("native library unavailable")
+    from svinet_tpu.io.writers import write_groups
+    rng = np.random.default_rng(3)
+    gamma = rng.gamma(2.0, 10.0, size=(37, 5)).astype(np.float32)
+    seq2id = np.arange(100, 137, dtype=np.int64)
+
+    p_nat = tmp_path / "g_native.txt"
+    assert nat.write_matrix_tsv(str(p_nat), gamma, seq2id, decimals=5)
+    lines = p_nat.read_text().splitlines()
+    assert len(lines) == 37
+    for i, line in enumerate(lines):
+        toks = line.split("\t")
+        assert toks[0] == str(i) and toks[1] == str(100 + i)
+        for j, v in enumerate(toks[2:]):
+            assert v == f"{gamma[i, j]:.5f}"
+
+    p_g = tmp_path / "groups_native.txt"
+    write_groups(str(p_g), gamma, seq2id)
+    orig = nat.write_matrix_tsv_extra
+    nat.write_matrix_tsv_extra = lambda *a, **k: False
+    try:
+        p_py = tmp_path / "groups_py.txt"
+        write_groups(str(p_py), gamma, seq2id)
+    finally:
+        nat.write_matrix_tsv_extra = orig
+    assert p_g.read_text() == p_py.read_text()
