@@ -126,6 +126,33 @@ def init_gamma_from_communities(members, deg: np.ndarray, n: int, k: int,
     return alpha + deg[:, None] * phi
 
 
+@functools.partial(jax.jit, static_argnames=("n", "k", "num_blocks"))
+def init_gamma_from_links_device(key, edges, mask, n: int, k: int,
+                                 alpha, num_blocks: int):
+    """Device equivalent of init_gamma_from_links for edge sets where the
+    host (E,K) phi matrix would not fit (the n=1M/k=500 stretch needs
+    40 GB of host RAM for it): a scan over the padded edge blocks draws
+    each block's normalized-uniform phi on device and scatter-adds it
+    into both endpoint rows (reference: LinkSampling::init_gamma2,
+    src/linksampling.cc:374-401)."""
+    keys = jax.random.split(key, num_blocks)
+    eb = edges.reshape(num_blocks, -1, 2)
+    mb = mask.reshape(num_blocks, -1)
+
+    def body(gamma, xs):
+        blk, msk, kk = xs
+        phi = jax.random.uniform(kk, (blk.shape[0], k), jnp.float32)
+        phi = phi / phi.sum(axis=1, keepdims=True) * msk[:, None]
+        gamma = gamma.at[blk[:, 0]].add(phi)
+        gamma = gamma.at[blk[:, 1]].add(phi)
+        return gamma, None
+
+    gamma, _ = jax.lax.scan(body, jnp.zeros((n, k), jnp.float32),
+                            (eb, mb, keys))
+    empty = gamma.sum(axis=1, keepdims=True) == 0
+    return jnp.where(empty, alpha, gamma)
+
+
 def init_gamma_from_links(rng: np.random.Generator, edges: np.ndarray,
                           n: int, k: int, alpha: float) -> np.ndarray:
     """Random per-link phi added to both endpoints
@@ -172,6 +199,14 @@ class LinkSampling(EngineBase):
             g0 = init_gamma_from_communities(
                 network.init_communities_seq, deg_all, n, k, cfg.alpha)
             l0 = np.tile([cfg.eta0, cfg.eta1], (k, 1))
+        elif len(network.edges) * k > (1 << 28):
+            # huge E*K: draw the per-link init phis on device, blocked
+            ie, im = pad_edges(network.edges, block)
+            g0 = init_gamma_from_links_device(
+                jax.random.PRNGKey(cfg.seed), jnp.asarray(ie),
+                jnp.asarray(im), n, k, jnp.float32(cfg.alpha),
+                ie.shape[0] // block)
+            l0 = np.tile([cfg.eta0, cfg.eta1], (k, 1))
         else:
             g0 = init_gamma_from_links(self.rng, network.edges, n, k,
                                        cfg.alpha)
@@ -193,7 +228,11 @@ class LinkSampling(EngineBase):
         # (the TPU equivalent of the reference's pthread map-reduce,
         # src/mmsbinfer.cc:2400-2550)
         self._mesh_sweep = None
-        if cfg.mesh_devices > 1:
+        # -mesh 1 -mesh-rowshard is allowed: a 1-device mesh with
+        # degenerate collectives, used to exercise the row-sharded
+        # large-n path (and its sharded checkpoints) on a single chip
+        if cfg.mesh_devices > 1 or (cfg.mesh_devices == 1
+                                    and cfg.mesh_rowshard):
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
             from svinet_tpu.parallel.mesh import (

@@ -296,3 +296,30 @@ def test_overprovisioned_k_runs(tmp_path, monkeypatch):
     pi = g / g.sum(1, keepdims=True)
     used = (np.bincount(pi.argmax(1), minlength=20) > 3).sum()
     assert 3 <= used <= 8, f"{used} communities populated (want ~4)"
+
+
+def test_init_gamma_device_matches_host_stats(tmp_path, assort_path):
+    """The blocked device init (init_gamma_from_links_device) must
+    reproduce the host init's row statistics: every node's gamma row sums
+    to its full-graph degree (each link adds a normalized phi to both
+    endpoints; reference: src/linksampling.cc:374-401)."""
+    import jax
+    from svinet_tpu.ops.edges import pad_edges
+    from svinet_tpu.svi.linksampling import (
+        init_gamma_from_links, init_gamma_from_links_device)
+    cfg = Config(n=75, k=4, outdir=str(tmp_path / "out"))
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    k = cfg.k
+    e, m = pad_edges(net.edges, 512)
+    g_dev = np.asarray(init_gamma_from_links_device(
+        jax.random.PRNGKey(0), jnp.asarray(e), jnp.asarray(m),
+        net.n, k, jnp.float32(cfg.alpha), e.shape[0] // 512))
+    g_host = init_gamma_from_links(np.random.default_rng(0), net.edges,
+                                   net.n, k, cfg.alpha)
+    deg = np.zeros(net.n)
+    np.add.at(deg, net.edges[:, 0], 1)
+    np.add.at(deg, net.edges[:, 1], 1)
+    np.testing.assert_allclose(g_dev.sum(1), deg, rtol=1e-4)
+    np.testing.assert_allclose(g_host.sum(1), deg, rtol=1e-6)

@@ -342,3 +342,26 @@ def test_cli_mesh_fastamm2_matches_single(tmp_path, monkeypatch):
 
     np.testing.assert_allclose(load("fa2mesh"), load("fa2one"),
                                rtol=5e-4, atol=5e-3)
+
+
+def test_cli_mesh_one_device_rowshard(tmp_path, monkeypatch):
+    """-mesh 1 -mesh-rowshard engages the row-sharded path on a single
+    device (degenerate collectives) — the configuration the n=1M/k=500
+    stretch run uses on one real chip — and must match the plain run."""
+    import numpy as np
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    for label, extra in (("one", []),
+                         ("rs1", ["-mesh", "1", "-mesh-rowshard"])):
+        rc = main(["-file", assort, "-n", "75", "-k", "4",
+                   "-link-sampling", "-label", label, "-seed", "1",
+                   "-max-iterations", "20", "-no-stop", "-rfreq", "10",
+                   *extra])
+        assert rc == 0
+    def load(label):
+        d = tmp_path / f"n75-k4-{label}-seed1-linksampling"
+        rows = [l.split() for l in open(d / "gamma.txt") if l.strip()]
+        return np.array([[float(v) for v in r[2:]] for r in rows])
+    np.testing.assert_allclose(load("rs1"), load("one"), rtol=2e-4,
+                               atol=2e-3)
