@@ -22,7 +22,7 @@ DATA = "/root/reference/example/ca-AstroPh.csv"
 BASELINE_EDGES_PER_SEC = 99 * 193031 / 77.0  # ~248k phi-updates(edges)/s
 
 
-def synth_main(n: int, k: int, n_edges: int) -> None:
+def synth_main(n: int, k: int, n_edges: int, emit: bool = True) -> dict:
     """Stretch benchmark: synthetic MMSB-scale sweep (BASELINE.json's
     n=1M/k=500 config). Random planted edges; measures raw sweep
     throughput at a size no single 2013 CPU core could touch."""
@@ -61,12 +61,15 @@ def synth_main(n: int, k: int, n_edges: int) -> None:
     float(gamma[0, 0])
     dt = time.perf_counter() - t0
     eps = iters * n_edges / dt
-    print(json.dumps({
+    rec = {
         "metric": f"linksampling_edges_per_sec_synth_n{n}_k{k}",
         "value": round(eps, 1),
         "unit": "edges/sec",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 3),
-    }))
+    }
+    if emit:
+        print(json.dumps(rec))
+    return rec
 
 
 def main() -> None:
@@ -126,11 +129,20 @@ def main() -> None:
 
     n_train = len(net.training_links)
     eps = n_iters * n_train / dt
+
+    # stretch metric (BASELINE.json n=1M/k=500) in the same record, so
+    # every round's BENCH captures both numbers (VERDICT r1 #8). The
+    # combined record stays ONE JSON line with the contract keys.
+    try:
+        stretch = synth_main(1_000_000, 500, 20_000_000, emit=False)
+    except Exception as e:  # never let the stretch kill the headline
+        stretch = {"error": repr(e)}
     print(json.dumps({
         "metric": "linksampling_edges_per_sec_ca-AstroPh_k20",
         "value": round(eps, 1),
         "unit": "edges/sec",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 3),
+        "stretch": stretch,
     }))
 
 

@@ -378,5 +378,9 @@ class EngineBase:
         counts = np.bincount(gamma.argmax(1), minlength=self.k)
         with open(self.cfg.file_str("summary.txt"), "a") as f:
             f.write("\t".join(str(int(c)) for c in counts) + "\n")
+        if getattr(self.cfg, "checkpoint_freq", 0.0):
+            # runs with native checkpointing on always end with a final
+            # checkpoint, so short runs (< checkpoint_freq) resume too
+            self.save_checkpoint()
         self.log("stopped at iteration %d (%d s)", self.iteration,
                  self.duration())
