@@ -118,6 +118,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.anneal_plateau_rate = float(nxt())
         elif a == "-findk-width":
             cfg.findk_width = int(nxt())
+        elif a == "-fastqueue":
+            cfg.fastqueue_width = int(nxt())
         elif a == "-infset":
             cfg.informative_sampling = True
         elif a == "-preprocess":

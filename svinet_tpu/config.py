@@ -130,6 +130,9 @@ class Config:
     findk_width: int = 0            # -findk sparse slots per node
                                     # (0 = min(max degree, 64); study in
                                     # README §findk-width)
+    fastqueue_width: int = 0        # -fastqueue W: sparse top-W gamma for
+                                    # -infset at huge K (the FastQueue
+                                    # equivalent, src/fastqueue.hh; 0=dense)
     # multi-host bring-up (jax.distributed); env vars are the fallback so
     # a launcher can export them once per host instead of editing flags
     dist_coordinator: str = field(

@@ -237,24 +237,27 @@ class EngineBase:
         if freq and time.time() - self._last_ckpt >= freq:
             self.save_checkpoint()
 
+    def _heldout(self, pairs, y) -> "HeldoutResult":
+        """Heldout likelihood over a pair set; engines with a non-dense
+        gamma representation (sparse top-W, -fastqueue) override this."""
+        eg, el = self._eval_arrays()
+        return heldout_stats(eg, el, pairs, y, self.cfg.epsilon)
+
     def report(self) -> bool:
         """Validation likelihood + stopping logic. Returns True to stop."""
         cfg = self.cfg
-        eg, el = self._eval_arrays()
-        res = heldout_stats(eg, el, self.val_pairs, self.val_y,
-                            cfg.epsilon)
+        res = self._heldout(self.val_pairs, self.val_y)
         nshol = self._vf.write(self.iteration, self.duration(), res,
                                cfg.zeros_prob, cfg.ones_prob)
         self._hf.write(self.iteration, self.duration(), res,
                        cfg.zeros_prob, cfg.ones_prob)
         if self._tf is not None:
-            tres = heldout_stats(eg, el, self.test_pairs,
-                                 self.test_y, cfg.epsilon)
+            tres = self._heldout(self.test_pairs, self.test_y)
             self._tf.write(self.iteration, self.duration(), tres,
                            cfg.zeros_prob, cfg.ones_prob)
         if self._train_sample is not None:
             tp, ty = self._train_sample
-            trres = heldout_stats(eg, el, tp, ty, cfg.epsilon)
+            trres = self._heldout(tp, ty)
             self._trf.write(self.iteration, self.duration(), trres,
                             cfg.zeros_prob, cfg.ones_prob)
             # stats.txt: the reference's 7-column training-likelihood trace

@@ -118,9 +118,26 @@ class FastAMM(EngineBase):
                 print("+ neighbors.bin not found; preprocessing inline")
                 network.set_neighborhood_sets(cfg)
 
-        from svinet_tpu.svi.mmsb import init_gamma_random
-        self.gamma = jnp.asarray(init_gamma_random(self.rng, n, k),
-                                 jnp.float32)
+        # -fastqueue W: sparse top-W gamma (ops/sparse_gamma.py, the
+        # FastQueue equivalent for huge K, src/fastqueue.hh:22-307) —
+        # the (n,K) state is never materialized; init draws W random
+        # slots per node with the same Gamma(100, 0.01) marginals as the
+        # dense init and a uniform tail carrying the other K-W units
+        self._W = int(cfg.fastqueue_width)
+        if self._W > 0:
+            if self._W >= k:
+                raise SystemExit("-fastqueue width must be < k")
+            self.ids = jnp.asarray(
+                self.rng.integers(0, k, size=(n, self._W)), jnp.int32)
+            self.vals = jnp.asarray(
+                self.rng.gamma(100.0, 0.01, size=(n, self._W)), jnp.float32)
+            self.rest = jnp.full((n,), float(k - self._W), jnp.float32)
+            self.gamma = None
+            cfg.plog("fastqueue width", self._W)
+        else:
+            from svinet_tpu.svi.mmsb import init_gamma_random
+            self.gamma = jnp.asarray(init_gamma_random(self.rng, n, k),
+                                     jnp.float32)
         l0 = np.tile([cfg.eta0, cfg.eta1], (k, 1))
         self.lam = jnp.asarray(l0, jnp.float32)
         self.eta = jnp.asarray(l0, jnp.float32)
@@ -227,10 +244,154 @@ class FastAMM(EngineBase):
                 ) ** (-cfg.kappa)
         return pp, yy, ww, touched, rho, scale, rhot
 
+    def _local_idx(self, pp: np.ndarray, touched: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Map pair endpoints to their positions in the touched list
+        (pad pairs land on the trailing dump slot)."""
+        pos = {int(a): j for j, a in enumerate(touched)}
+        dump = len(touched) - 1
+        lp = np.fromiter((pos.get(int(x), dump) for x in pp[:, 0]),
+                         np.int32, len(pp))
+        lq = np.fromiter((pos.get(int(x), dump) for x in pp[:, 1]),
+                         np.int32, len(pp))
+        return lp, lq
+
+    def _step_many_sparse(self, count: int) -> None:
+        from svinet_tpu.ops.sparse_gamma import (
+            sparse_fastamm_step, sparse_fastamm_multi_step)
+        cfg = self.cfg
+        batches = [self._prepare(self.iteration + b) for b in range(count)]
+        do_lam = jnp.float32(0.0 if cfg.nolambda else 1.0)
+        locs = [self._local_idx(b[0], b[3]) for b in batches]
+        if count == 1:
+            pp, yy, ww, touched, rho, scale, rhot = batches[0]
+            lp, lq = locs[0]
+            self.ids, self.vals, self.rest, self.lam = sparse_fastamm_step(
+                self.ids, self.vals, self.rest, self.lam,
+                jnp.asarray(pp), jnp.asarray(yy), jnp.asarray(ww),
+                jnp.asarray(lp), jnp.asarray(lq), jnp.asarray(touched),
+                jnp.asarray(rho), self.alpha, self.eta, jnp.float32(scale),
+                jnp.float32(rhot), do_lam, self.log_eps, k=self.k,
+                max_iters=cfg.online_iterations,
+                thresh=cfg.meanchangethresh)
+            return
+        stack = lambda i, dt: jnp.asarray(
+            np.stack([b[i] for b in batches]).astype(dt))
+        self.ids, self.vals, self.rest, self.lam = \
+            sparse_fastamm_multi_step(
+                self.ids, self.vals, self.rest, self.lam,
+                stack(0, np.int32), stack(1, np.int32), stack(2, np.float32),
+                jnp.asarray(np.stack([l[0] for l in locs])),
+                jnp.asarray(np.stack([l[1] for l in locs])),
+                stack(3, np.int32), stack(4, np.float32),
+                self.alpha, self.eta, stack(5, np.float32),
+                stack(6, np.float32), do_lam, self.log_eps, k=self.k,
+                max_iters=cfg.online_iterations,
+                thresh=cfg.meanchangethresh)
+
+    def _heldout(self, pairs, y):
+        if not self._W:
+            return super()._heldout(pairs, y)
+        from svinet_tpu.evals.likelihood import HeldoutResult
+        from svinet_tpu.ops.sparse_gamma import sparse_pair_scores
+        s_one, inner = sparse_pair_scores(
+            self.ids, self.vals, self.rest, self.lam, jnp.asarray(pairs),
+            k=self.k)
+        s_one = np.asarray(s_one)
+        inner = np.asarray(inner)
+        eps = self.cfg.epsilon
+        s_zero = inner - s_one + (1.0 - inner) * (1.0 - eps)
+        yy = np.asarray(y)
+        s = np.where(yy == 1, s_one, s_zero)
+        ll = np.log(np.maximum(s, 1e-30))
+        ones = yy == 1
+        return HeldoutResult(
+            avg=float(ll.mean()), count=len(ll),
+            avg0=float(ll[~ones].mean()) if (~ones).any() else 0.0,
+            count0=int((~ones).sum()),
+            avg1=float(ll[ones].mean()) if ones.any() else 0.0,
+            count1=int(ones.sum()))
+
+    def log_communities(self) -> None:
+        if not self._W:
+            return super().log_communities()
+        # link-community extraction on the sparse state: argmax phi over
+        # each link's union slots; membership counting via sorted
+        # (node, community) keys — no (n,K) host matrix
+        from svinet_tpu.ops.sparse_gamma import sparse_edge_assignments
+        from svinet_tpu.io.writers import write_communities
+        cfg = self.cfg
+        tl = self.network.training_links
+        cids, mx = [], []
+        for lo in range(0, len(tl), 8192):
+            c, m = sparse_edge_assignments(
+                self.ids, self.vals, self.rest, self.lam,
+                jnp.asarray(tl[lo: lo + 8192]), k=self.k)
+            cids.append(np.asarray(c))
+            mx.append(np.asarray(m))
+        cids = np.concatenate(cids) if cids else np.zeros(0, np.int32)
+        mx = np.concatenate(mx) if mx else np.zeros(0)
+        sel = mx > cfg.link_thresh
+        nodes = np.concatenate([tl[sel, 0], tl[sel, 1]]).astype(np.int64)
+        cs = np.concatenate([cids[sel], cids[sel]]).astype(np.int64)
+        keys, counts = np.unique(nodes * self.k + cs, return_counts=True)
+        keep = counts > cfg.lt_min_deg
+        comms: dict = {}
+        for key in keys[keep]:
+            comms.setdefault(int(key % self.k), []).append(
+                int(key // self.k))
+        self._communities = comms
+        write_communities(cfg.file_str("communities.txt"), comms,
+                          self.network.seq2id)
+        # mcount.txt / aggregate.txt from the same sorted keys
+        m_nodes, m_counts = np.unique(keys[keep] // self.k,
+                                      return_counts=True)
+        with open(cfg.file_str("mcount.txt"), "w") as f:
+            for node, c in zip(m_nodes, m_counts):
+                f.write(f"{int(node)}\t"
+                        f"{int(self.network.seq2id[int(node)])}\t{int(c)}\n")
+        with open(cfg.file_str("aggregate.txt"), "w") as f:
+            vs, cc = np.unique(m_counts, return_counts=True)
+            for v, c in zip(vs, cc):
+                f.write(f"{int(v)}\t{int(c)}\n")
+        if self._mutual is not None:
+            from svinet_tpu.evals.nmi import overlapping_nmi, read_cover_file
+            ours = read_cover_file(cfg.file_str("communities.txt"))
+            gt = read_cover_file(cfg.file_str("ground_truth.txt"))
+            self._mutual.write(f"mutual3:\t{overlapping_nmi(gt, ours):g}\n")
+            self._mutual.flush()
+
+    def _state_dict(self):
+        if not self._W:
+            return super()._state_dict()
+        return {"ids": self.ids, "vals": self.vals, "rest": self.rest,
+                "lam": self.lam, "iteration": self.iteration}
+
+    def _restore_state(self, state) -> None:
+        if not self._W:
+            return super()._restore_state(state)
+        self.ids = jnp.asarray(state["ids"])
+        self.vals = jnp.asarray(state["vals"])
+        self.rest = jnp.asarray(state["rest"])
+        self.lam = jnp.asarray(state["lam"])
+        self.iteration = int(state["iteration"])
+
+    def do_on_stop(self) -> None:
+        if not self._W:
+            return super().do_on_stop()
+        # densify for the TSV interop surface (gamma.txt is (n,K) text by
+        # schema regardless of the in-memory representation)
+        from svinet_tpu.ops.sparse_gamma import densify
+        self.gamma = densify(self.ids, self.vals, self.rest, self.k)
+        super().do_on_stop()
+        self.gamma = None
+
     def _step_many(self, count: int) -> None:
         """`count` iterations fused into one device call (host sampling,
         device scan — same tunnel-latency optimization as the other
         engines)."""
+        if self._W:
+            return self._step_many_sparse(count)
         cfg = self.cfg
         batches = [self._prepare(self.iteration + b) for b in range(count)]
         do_lam = jnp.float32(0.0 if cfg.nolambda else 1.0)
