@@ -5,8 +5,14 @@ number; this harness runs REAL inference at that scale, end to end:
 
   1. --gen    generate a planted a-MMSB graph with the sparse
               Poisson-thinned generator (svi/gen.py): n=1M, k=500,
-              alpha=0.05, beta ~ Beta(1, 99)  (mean 0.01 -> ~10M links,
-              avg degree ~20), plus the planted ground-truth cover.
+              -disjoint memberships, beta ~ Beta(3, 97) (mean 0.03 ->
+              ~30M links, within-community density 0.03), plus the
+              planted ground-truth cover. The regime was calibrated at
+              n=70k: overlapping Dir(0.05) memberships at density 0.01
+              are UNLEARNABLE by this model class — the REBUILT REFERENCE
+              collapses identically (heldout link logL -12.0 vs ours
+              -11.8) — while disjoint density-0.03 recovers the planted
+              cover at NMI 0.92 with a clean annealing plateau exit.
   2. --run    LinkSampling inference through the real CLI with
               -mesh 1 -mesh-rowshard (the large-n row-sharded path on
               one chip: sharded gamma, sharded orbax checkpoints),
@@ -45,8 +51,8 @@ def gen() -> None:
     from svinet_tpu.svi.gen import MMSBGen
     os.makedirs(WORKDIR, exist_ok=True)
     os.chdir(WORKDIR)
-    cfg = Config(n=N, k=K, gen=True, seed=SEED,
-                 eta0_gen=1.0, eta1_gen=99.0,
+    cfg = Config(n=N, k=K, gen=True, seed=SEED, disjoint=True,
+                 eta0_gen=3.0, eta1_gen=97.0,
                  outdir=os.path.join(WORKDIR, "gen"))
     cfg.resolve()
     t0 = time.time()
