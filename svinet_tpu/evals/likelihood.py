@@ -53,9 +53,18 @@ def _heldout_sums(gamma, lam, pairs, y, epsilon):
     ])
 
 
-def heldout_stats(gamma, lam, pairs, y, epsilon: float) -> HeldoutResult:
-    s, k, s0, k0, s1, k1 = (float(v) for v in
-                            _heldout_sums(gamma, lam, pairs, y, epsilon))
+def heldout_stats(gamma, lam, pairs, y, epsilon: float,
+                  block: int = 1 << 17) -> HeldoutResult:
+    """Blocked over the pair set: the (B,K) gather intermediates stay
+    bounded regardless of the heldout-set size (the n=1M stretch holds
+    out ~300k pairs at K=500)."""
+    m = pairs.shape[0]
+    acc = None
+    for lo in range(0, m, block):
+        part = _heldout_sums(gamma, lam, pairs[lo: lo + block],
+                             y[lo: lo + block], epsilon)
+        acc = part if acc is None else acc + part
+    s, k, s0, k0, s1, k1 = (float(v) for v in acc)
     return HeldoutResult(
         avg=s / max(k, 1), count=int(k),
         avg0=s0 / max(k0, 1), count0=int(k0),

@@ -233,7 +233,6 @@ class LinkSampling(EngineBase):
         # large-n path (and its sharded checkpoints) on a single chip
         if cfg.mesh_devices > 1 or (cfg.mesh_devices == 1
                                     and cfg.mesh_rowshard):
-            import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
             from svinet_tpu.parallel.mesh import (
                 make_mesh, shard_edges, make_sharded_multi_sweep,

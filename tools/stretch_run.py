@@ -84,7 +84,7 @@ def run(max_iters: int, rfreq: int) -> None:
            "-mesh", "1", "-mesh-rowshard",
            "-seed", str(SEED), "-label", "stretch",
            "-rfreq", str(rfreq), "-max-iterations", str(max_iters),
-           "-checkpoint-freq", "600"]
+           "-checkpoint-freq", "300", "-resume"]
     t0 = time.time()
     rc = subprocess.call(cmd, env=env)
     if rc != 0:
