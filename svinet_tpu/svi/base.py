@@ -309,7 +309,13 @@ class EngineBase:
         write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
                   nshol, self.stopper.max_t, self.stopper.max_h,
                   self.stopper.why)
-        self.log_communities()
+        # Per-report community extraction feeds the NMI trace (mutual.txt,
+        # one entry per report in the reference's bundled runs); without
+        # -nmi the reference only needs communities at stop, so huge runs
+        # skip the ~200s/report extraction (29M-edge argmax + host count
+        # at the n=1M stretch). do_on_stop always writes them.
+        if self._mutual is not None or self.n * self.k <= (1 << 24):
+            self.log_communities()
         self._maybe_periodic_checkpoint()
         if self.terminate_requested:
             # SIGTERM: save everything and keep running

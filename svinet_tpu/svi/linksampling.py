@@ -507,6 +507,8 @@ class LinkSampling(EngineBase):
         last_t = time.time()
         self.report()  # iteration-0 report (reference ctor does one)
         r = max(cfg.reportfreq, 1)
+        if self.iteration == 0:
+            self.iteration = 1   # next report boundary is r, not 0 again
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
