@@ -53,6 +53,10 @@ svinet [OPTIONS]
 \t-dist-nprocs <N>\tnumber of hosts (launch one process per host)
 \t-dist-procid <I>\tthis host's process index
 \t-freeze\t\tfreeze converged nodes (consolidates overshot K)
+\t-fastqueue <W>\tsparse top-W gamma for -infset at huge K
+\t-findk-width <W>\toverride -findk's sparse label slots per node
+\t-anneal-drawdown <d>\tannealing-exit drawdown threshold (default 0.08)
+\t-anneal-plateau-rate <r>\tannealing-exit plateau rate (default 1e-6)
 """
 
 
