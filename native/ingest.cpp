@@ -131,7 +131,10 @@ namespace {
 // Falls back to snprintf for values the int64 path can't represent.
 inline void append_fixed(std::string* out, double v, int decimals,
                          int64_t pow10) {
-  if (!(v > -1e15 && v < 1e15)) {  // NaN/inf/huge -> snprintf
+  // fall back when the SCALED value could overflow llround (int64 holds
+  // ~9.2e18); fabs(NaN) fails the comparison too, so NaN/inf also fall
+  // through to snprintf
+  if (!(fabs(v) * static_cast<double>(pow10) < 9.0e18)) {
     char tmp[64];
     snprintf(tmp, sizeof tmp, "%.*f", decimals, v);
     out->append(tmp);

@@ -34,7 +34,7 @@ class HeldoutResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _heldout_sums(gamma, lam, pairs, y, epsilon):
+def _heldout_sums(gamma, lam, pairs, y, w, epsilon):
     pi = gamma / gamma.sum(axis=1, keepdims=True)
     beta = lam[:, 0] / (lam[:, 0] + lam[:, 1])
     pp = pi[pairs[:, 0]]
@@ -44,12 +44,12 @@ def _heldout_sums(gamma, lam, pairs, y, epsilon):
     s_one = (prod * beta).sum(axis=-1)
     s_zero = (prod * (1.0 - beta)).sum(axis=-1) + (1.0 - inner) * (1.0 - epsilon)
     s = jnp.where(y == 1, s_one, s_zero)
-    ll = jnp.log(jnp.maximum(s, 1e-30))
+    ll = jnp.log(jnp.maximum(s, 1e-30)) * w
     ones = (y == 1)
     return jnp.array([
-        ll.sum(), ll.shape[0],
-        jnp.where(ones, 0.0, ll).sum(), (~ones).sum(),
-        jnp.where(ones, ll, 0.0).sum(), ones.sum(),
+        ll.sum(), w.sum(),
+        jnp.where(ones, 0.0, ll).sum(), jnp.where(ones, 0.0, w).sum(),
+        jnp.where(ones, ll, 0.0).sum(), jnp.where(ones, w, 0.0).sum(),
     ])
 
 
@@ -57,12 +57,23 @@ def heldout_stats(gamma, lam, pairs, y, epsilon: float,
                   block: int = 1 << 17) -> HeldoutResult:
     """Blocked over the pair set: the (B,K) gather intermediates stay
     bounded regardless of the heldout-set size (the n=1M stretch holds
-    out ~300k pairs at K=500)."""
+    out ~300k pairs at K=500). The ragged tail block is padded to the
+    full block size (weight 0) so every block shares ONE compiled
+    program — an extra trace per heldout-set size is 30-60 s through
+    the TPU tunnel."""
     m = pairs.shape[0]
+    if m == 0:
+        return HeldoutResult(0.0, 0, 0.0, 0, 0.0, 0)
     acc = None
     for lo in range(0, m, block):
-        part = _heldout_sums(gamma, lam, pairs[lo: lo + block],
-                             y[lo: lo + block], epsilon)
+        pb, yb = pairs[lo: lo + block], y[lo: lo + block]
+        wb = jnp.ones(pb.shape[0], jnp.float32)
+        if m > block and pb.shape[0] != block:
+            pad = block - pb.shape[0]
+            pb = jnp.concatenate([pb, jnp.zeros((pad, 2), pb.dtype)])
+            yb = jnp.concatenate([yb, jnp.zeros(pad, yb.dtype)])
+            wb = jnp.concatenate([wb, jnp.zeros(pad, jnp.float32)])
+        part = _heldout_sums(gamma, lam, pb, yb, wb, epsilon)
         acc = part if acc is None else acc + part
     s, k, s0, k0, s1, k1 = (float(v) for v in acc)
     return HeldoutResult(

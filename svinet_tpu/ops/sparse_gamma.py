@@ -35,7 +35,10 @@ from svinet_tpu.ops.expectations import dirichlet_expectation
 def topw_from_dense(gamma, w: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Compress dense (n,K) gamma to (ids, vals, rest)."""
     vals, ids = jax.lax.top_k(gamma, w)
-    rest = gamma.sum(axis=-1) - vals.sum(axis=-1)
+    # f32 cancellation can leave the difference slightly negative on rows
+    # whose tail mass is tiny; a negative tail flips digamma(tail) sign
+    # and destabilizes the sparse fixed point, so clamp at 0
+    rest = jnp.maximum(gamma.sum(axis=-1) - vals.sum(axis=-1), 0.0)
     return ids.astype(jnp.int32), vals, rest
 
 
@@ -87,8 +90,10 @@ def sparse_phi_fixed_point(ids_p, vals_p, rest_p, ids_q, vals_q, rest_q,
 
     tot_p = vals_p.sum(-1) + rest_p
     tot_q = vals_q.sum(-1) + rest_q
-    tail_p = rest_p / max(k - w, 1)
-    tail_q = rest_q / max(k - w, 1)
+    # floor the uniform tail value: digamma(0) = -inf would poison the
+    # softmax with NaNs when a row's tail mass is exactly 0
+    tail_p = jnp.maximum(rest_p / max(k - w, 1), 1e-10)
+    tail_q = jnp.maximum(rest_q / max(k - w, 1), 1e-10)
     gp = _value_at_slots(ids_p, vals_p, tail_p, slots)
     gq = _value_at_slots(ids_q, vals_q, tail_q, slots)
     elogpi_p = (jax.scipy.special.digamma(gp)
@@ -124,7 +129,8 @@ def sparse_phi_fixed_point(ids_p, vals_p, rest_p, ids_q, vals_q, rest_q,
     return slots, first, phi1, phi2
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters"))
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("k", "max_iters"))
 def sparse_fastamm_step(ids, vals, rest, lam, pairs, y, w_mask, lp, lq,
                         touched, rho, alpha, eta, scale, rhot, do_lambda,
                         log_eps, k: int, max_iters: int,
@@ -165,7 +171,7 @@ def sparse_fastamm_step(ids, vals, rest, lam, pairs, y, w_mask, lp, lq,
                   rest[jnp.clip(touched, 0, n - 1)], k)
     new = (1.0 - rho[:, None]) * old + rho[:, None] * (alpha + scale * gacc)
     nv, ni = jax.lax.top_k(new, w)
-    nr = new.sum(-1) - nv.sum(-1)
+    nr = jnp.maximum(new.sum(-1) - nv.sum(-1), 0.0)  # f32 cancellation
 
     # scatter back (touched == n is the dump row for padding)
     safe = jnp.where(touched < n, touched, n)
@@ -181,7 +187,8 @@ def sparse_fastamm_step(ids, vals, rest, lam, pairs, y, w_mask, lp, lq,
     return ids, vals, rest, lam
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters"))
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("k", "max_iters"))
 def sparse_fastamm_multi_step(ids, vals, rest, lam, b_pairs, b_y, b_w,
                               b_lp, b_lq, b_touched, b_rho, alpha, eta,
                               b_scale, b_rhot, do_lambda, log_eps, k: int,

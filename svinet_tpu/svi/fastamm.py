@@ -127,11 +127,29 @@ class FastAMM(EngineBase):
         if self._W > 0:
             if self._W >= k:
                 raise SystemExit("-fastqueue width must be < k")
-            self.ids = jnp.asarray(
-                self.rng.integers(0, k, size=(n, self._W)), jnp.int32)
-            self.vals = jnp.asarray(
-                self.rng.gamma(100.0, 0.01, size=(n, self._W)), jnp.float32)
-            self.rest = jnp.full((n,), float(k - self._W), jnp.float32)
+            # the sparse state is the top-W compression of the dense
+            # Gamma(100, 0.01) init (src/fastamm2.cc:497-532): draw the
+            # dense rows BLOCKWISE and keep each row's W largest entries
+            # (distinct ids by construction — duplicate slot ids would
+            # make densify drop mass and _value_at_slots double-count)
+            # plus the exact remainder mass. Only (B, k) ever exists.
+            w = self._W
+            ids = np.empty((n, w), np.int32)
+            vals = np.empty((n, w), np.float32)
+            rest = np.empty(n, np.float32)
+            bsz = max(1, (1 << 24) // max(k, 1))
+            for lo in range(0, n, bsz):
+                g = self.rng.gamma(100.0, 0.01,
+                                   size=(min(bsz, n - lo), k))
+                top = np.argpartition(-g, w - 1, axis=1)[:, :w]
+                v = np.take_along_axis(g, top, 1)
+                hi = lo + len(g)
+                ids[lo:hi] = top
+                vals[lo:hi] = v
+                rest[lo:hi] = np.maximum(g.sum(1) - v.sum(1), 0.0)
+            self.ids = jnp.asarray(ids)
+            self.vals = jnp.asarray(vals)
+            self.rest = jnp.asarray(rest)
             self.gamma = None
             cfg.plog("fastqueue width", self._W)
         else:

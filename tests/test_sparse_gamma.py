@@ -102,8 +102,9 @@ def test_fastqueue_engine_converges(tmp_path, assort_path):
         res = eng._heldout(eng.val_pairs, eng.val_y)
         results[label] = res
         assert np.isfinite(res.avg)
-    # sparse tracks dense within a loose statistical band
-    assert results["sparse"].avg > results["dense"].avg - 0.15
+    # sparse tracks dense closely since the top-W-compressed dense init:
+    # measured gap over seeds 3-10 is 0.015 +- 0.015 (worst 0.044)
+    assert results["sparse"].avg > results["dense"].avg - 0.1
     assert results["sparse"].avg1 > -2.5
 
 
