@@ -30,6 +30,10 @@ def precision_counts(scores: np.ndarray, y: np.ndarray
 
 
 def write_hitcurve(path: str, cum: np.ndarray, step: int = 1000) -> None:
+    """Rank/hits rows, thinned exactly as the reference thins them:
+    step_size = 1000, emitting rank 1 and every 1000th rank
+    (reference: src/fastamm2.cc:1431-1452,
+    `if (i == 0 || (i+1) % step_size == 0) fprintf(_hcf, ...)`)."""
     with open(path, "w") as f:
         for i in range(len(cum)):
             if i == 0 or (i + 1) % step == 0:

@@ -32,16 +32,55 @@ def test_lfr_linksampling_nmi_parity(tmp_path, lfr_paths, seed, monkeypatch):
 
     # NMI parity: reference mutual.txt records 0.897 final / 0.904 best;
     # with the 2x training-link-count semantics this implementation lands
-    # at ~0.96 across seeds
+    # at 0.996 (seed 1) / 0.963 (seed 2) / 0.944 (seed 3) — band pinned
+    # to the measured multi-seed envelope so a silent regression of the
+    # load-bearing sweep semantics fails here
     nmis = [float(line.split()[-1])
             for line in open(cfg.file_str("mutual.txt"))]
-    assert max(nmis) >= 0.93, f"NMI too low: {max(nmis)}"
+    assert max(nmis) >= 0.95, f"NMI too low: {max(nmis)}"
 
-    # heldout nshol parity: reference max.txt records -0.1110; ours
-    # reaches -0.1107 (max.txt col 5) before the plateau stop
+    # heldout nshol parity: reference max.txt records -0.1110; measured
+    # seeds 1-3 reach -0.1107 / -0.1124 / -0.1143 (max.txt col 5)
     maxrow = open(cfg.file_str("max.txt")).read().split()
     best_nshol = float(maxrow[4])
-    assert -0.125 < best_nshol < -0.10, f"nshol out of range: {best_nshol}"
+    assert -0.116 < best_nshol < -0.105, f"nshol out of range: {best_nshol}"
+
+    # the annealing exit is the second load-bearing semantic
+    # (CLAUDE.md hard-won facts): at defaults seed 1 leaves the
+    # annealing phase at iteration 72-73 (README sensitivity table:
+    # 39-74 across 2x knob variations); pin its studied range
+    if seed == 1:
+        import re
+        log = open(cfg.file_str("infer.log")).read()
+        m = re.search(r"annealing ended at iteration (\d+)", log)
+        assert m, "seed 1 never left the annealing phase"
+        assert 55 <= int(m.group(1)) <= 90, \
+            f"annealing exit {m.group(1)} outside studied range"
+
+
+def test_astroph_linksampling_40iter_parity(tmp_path, monkeypatch):
+    """ca-AstroPh headline config, 40-iteration horizon — the cheap
+    deterministic variant that runs in the DEFAULT suite (the full
+    150-iteration run below stays slow-marked). Measured at this
+    horizon: best nshol -0.00922 (seed 1) / -0.00868 (seed 2), already
+    inside the rebuilt reference's FINAL envelope (-0.0089..-0.0092,
+    BASELINE.md), so a regression of the sweep math or the annealing
+    schedule fails here without RUN_SLOW."""
+    monkeypatch.chdir(tmp_path)
+    cfg = parse_args([
+        "-file", "/root/reference/example/ca-AstroPh.csv",
+        "-n", "17903", "-k", "20", "-link-sampling",
+        "-heldout-ratio", "0.02", "-seed", "1", "-label", "astro40",
+        "-max-iterations", "40", "-rfreq", "10",
+    ])
+    net = Network(cfg)
+    net.read(cfg.datfname)
+    from svinet_tpu.svi.linksampling import LinkSampling
+    eng = LinkSampling(cfg, net)
+    eng.infer()
+    maxrow = open(cfg.file_str("max.txt")).read().split()
+    best_nshol = float(maxrow[4])
+    assert best_nshol > -0.0105, f"nshol regressed: {best_nshol}"
 
 
 @pytest.mark.slow
