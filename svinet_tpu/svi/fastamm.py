@@ -203,23 +203,18 @@ class FastAMM(EngineBase):
         return pairs.astype(np.int32), ys[ok], nodes
 
     def _noninf_sample(self) -> Tuple[np.ndarray, np.ndarray, list]:
+        # batched ring walk (svi/sampling.py): same first-`setsize`
+        # survivors as the reference's one-node-at-a-time scan
+        # (src/fastamm.cc:1051-1126) at numpy speed
+        from svinet_tpu.svi.sampling import (ring_nonlink_scan,
+                                             nonlink_accept)
         r = int(self.rng.integers(0, self.n))
-        inf_set = set(int(x) for x in self.network.sparse_zeros(r))
+        inf_sorted = np.sort(self.network.sparse_zeros(r).astype(np.int64))
         start = int(self.rng.integers(0, self.n))
-        picked = []
-        q = start
-        scanned = 0
-        while len(picked) < NONINF_SETSIZE and scanned < 4 * self.n:
-            node = int(self._shuffled[q % self.n])
-            q += 1
-            scanned += 1
-            if node == r or node in inf_set:
-                continue
-            lo, hi = min(r, node), max(r, node)
-            if not self.network.y(np.array([lo]), np.array([hi]))[0] and \
-                    self._edge_ok(np.array([lo]), np.array([hi]))[0]:
-                picked.append(node)
-        others = np.asarray(picked, np.int64)
+        others = ring_nonlink_scan(
+            self._shuffled, self.n, r, start, NONINF_SETSIZE,
+            nonlink_accept(self.network, r, inf_sorted,
+                           require_edge_ok=True))
         lo = np.minimum(r, others)
         hi = np.maximum(r, others)
         pairs = np.stack([lo, hi], 1).astype(np.int32) if len(others) else \

@@ -122,21 +122,17 @@ class FastAMM2(EngineBase):
             ys = np.ones(len(others), np.int32)
             scale = n / (2.0 * (1.0 - INF_EPSILON))
         else:                                   # non-informative step
+            # batched ring walk (svi/sampling.py): same survivors as the
+            # reference's scalar scan (src/fastamm2.cc:1101) — heldout
+            # exclusion is applied AFTER, below, like the scalar path did
+            from svinet_tpu.svi.sampling import (ring_nonlink_scan,
+                                                 nonlink_accept)
             setsize = max(1, n // M_SETS)
             start = int(self.rng.integers(0, n))
-            picked = []
-            q = start
-            scanned = 0
-            while len(picked) < setsize and scanned < 4 * n:
-                node = int(self._shuffled[q % n])
-                q += 1
-                scanned += 1
-                if node == r:
-                    continue
-                lo, hi = min(r, node), max(r, node)
-                if not self.network.y(np.array([lo]), np.array([hi]))[0]:
-                    picked.append(node)
-            others = np.asarray(picked, np.int64)
+            others = ring_nonlink_scan(
+                self._shuffled, n, r, start, setsize,
+                nonlink_accept(self.network, r, None,
+                               require_edge_ok=False))
             ys = np.zeros(len(others), np.int32)
             scale = (float(n) * M_SETS) / (2.0 * INF_EPSILON)
         lo = np.minimum(r, others)

@@ -338,17 +338,14 @@ class SBM(EngineBase):
                 gamma_scale = 0.5
                 lambda_scale = self.n / 2.0
             else:
-                inf_set = set(int(x) for x in net.sparse_zeros(r))
-                picked = []
-                tries = 0
-                while len(picked) < self.k and tries < 50 * self.k:
-                    q = int(self.rng.integers(0, self.n))
-                    tries += 1
-                    if q == r or q in inf_set:
-                        continue
-                    if not net.y(np.array([r]), np.array([q]))[0]:
-                        picked.append(q)
-                others = np.asarray(picked, np.int64)
+                # batched random nonlink draws (svi/sampling.py), same
+                # criteria as the reference's scalar loop
+                # (src/sbm.cc:700-760)
+                from svinet_tpu.svi.sampling import random_nonlink_draws
+                inf_sorted = np.sort(net.sparse_zeros(r).astype(np.int64))
+                others = random_nonlink_draws(
+                    self.rng, net, self.n, r, self.k, inf_sorted,
+                    max_tries=50 * self.k)
                 phi_scale = (self.n * self.n) / (2 * inf_eps * self.k)
                 gamma_scale = self.n / (2 * inf_eps * self.k)
                 lambda_scale = phi_scale
