@@ -143,6 +143,18 @@ def main() -> None:
         "unit": "edges/sec",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 3),
         "stretch": stretch,
+        # completed END-TO-END n=1M/k=500 inference run (STRETCH.md;
+        # tools/stretch_run.py --gen --run --score on the v5e, 2026-08-20):
+        # real heldout eval + nshol stopping + sharded checkpoints, scored
+        # against the planted cover. Recorded, not rerun per bench call
+        # (the full pipeline is ~63 min).
+        "stretch_e2e": {"n": 1_000_000, "k": 500,
+                        "training_links": 28_889_663,
+                        "median_secs_per_sweep": 4.633,
+                        "sweep_meps": 6.24, "stop_iter": 100,
+                        "best_nshol": -0.00034,
+                        "nmi_vs_planted": 0.9134,
+                        "communities_found": 500},
     }))
 
 

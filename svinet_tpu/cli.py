@@ -245,6 +245,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"+ distributed: process {jax.process_index()} of "
               f"{jax.process_count()}, {jax.local_device_count()} local / "
               f"{jax.device_count()} global devices")
+        # the CANONICAL checkpoint location is process 0's outdir: saves
+        # are primary-only, and -resume must restore the same state and
+        # iteration on every process (divergent iteration counters on a
+        # collective program hang or corrupt the run)
+        cfg.ckpt_outdir = cfg.outdir
         if jax.process_index() != 0:
             cfg.outdir = _os.path.join(cfg.outdir,
                                        f"proc{jax.process_index()}")

@@ -105,6 +105,10 @@ class Config:
     init_communities_fname: str = ""
     force_overwrite_dir: bool = True
     outdir: str = ""                # resolved by resolve()
+    ckpt_outdir: str = ""           # canonical checkpoint dir; multi-host
+    # runs point every process here (process 0's outdir) so -resume
+    # restores the SAME state and iteration everywhere instead of proc>0
+    # finding its own empty proc<i>/ckpt and restarting at 0
 
     # --- generator / ppc ---------------------------------------------------
     ppc_ndraws: int = 100

@@ -42,34 +42,53 @@ def _is_primary() -> bool:
         return True
 
 
+def host_read(v: "jax.Array") -> np.ndarray:
+    """Full host copy of a (possibly multi-process) jax.Array. Replicated
+    or single-process arrays read locally; row-sharded multi-process
+    arrays go through a tiled process_allgather — a COLLECTIVE, so every
+    process must call this together."""
+    if v.is_fully_replicated or v.is_fully_addressable:
+        return np.asarray(v)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(v, tiled=True))
+
+
 def save_checkpoint(outdir: str, state: Dict[str, Any], step: int) -> str:
     """Save device arrays + host scalars under <outdir>/ckpt/<step>.
     The `latest` pointer is written atomically (tmp + rename) so an
     interrupted save can never leave an unreadable pointer; old steps
-    beyond KEEP_LAST are pruned."""
+    beyond KEEP_LAST are pruned.
+
+    Multi-process runs: every process participates in the host gather
+    (collective when state is row-sharded), then ONLY process 0 writes —
+    the npz fallback rather than orbax, whose save path would need all
+    processes to enter its own sync barrier."""
     path = os.path.abspath(os.path.join(outdir, "ckpt"))
     multiproc = jax.process_count() > 1
-    if multiproc and not _is_primary():
-        # replicated multi-host state: process 0 writes for everyone
-        return path
+    if multiproc:
+        state = {k: (host_read(v) if isinstance(v, jax.Array) else v)
+                 for k, v in state.items()}
+        if not _is_primary():
+            return path
     os.makedirs(path, exist_ok=True)
     arrays: Dict[str, Any] = {}
     for k, v in state.items():
         if isinstance(v, jax.Array):
             # single-process: hand the (possibly sharded) jax.Array to
             # orbax untouched — each shard streams from its own device,
-            # no host gather. Multi-process state is replicated, so the
-            # local replica read is exact.
-            arrays[k] = np.asarray(v) if (multiproc or not _HAVE_ORBAX) else v
+            # no host gather.
+            arrays[k] = v if _HAVE_ORBAX else np.asarray(v)
         elif isinstance(v, np.ndarray):
             arrays[k] = v
     scalars = {k: v for k, v in state.items()
                if not isinstance(v, (jax.Array, np.ndarray))}
-    if _HAVE_ORBAX:
+    if _HAVE_ORBAX and not multiproc:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.join(path, str(step)), arrays, force=True)
         ckptr.wait_until_finished()
     else:
+        # multi-process: plain npz from the primary (orbax's save would
+        # enter a cross-process sync barrier that only one process reaches)
         np.savez(os.path.join(path, f"{step}.npz"),
                  **{k: np.asarray(v) for k, v in arrays.items()})
     with open(os.path.join(path, f"{step}.meta.json.tmp"), "w") as f:
@@ -171,7 +190,11 @@ def load_checkpoint(outdir: str, step: Optional[int] = None,
             return None
         arrays = dict(np.load(npz))
         if shardings:
-            arrays = {k: (jax.device_put(v, shardings[k])
+            # global_put handles shardings that span other processes'
+            # devices (multi-host resume: every process reads the same
+            # canonical npz and contributes its local shards)
+            from svinet_tpu.parallel.mesh import global_put
+            arrays = {k: (global_put(v, shardings[k])
                           if k in shardings else v)
                       for k, v in arrays.items()}
     out: Dict[str, Any] = dict(arrays)

@@ -115,11 +115,11 @@ class EngineBase:
                     f.write(f"{s}\t{i}\n")
 
         self.n, self.k = network.n, cfg.k
-        self.val_pairs = jnp.asarray(network.validation_pairs)
-        self.val_y = jnp.asarray(network.validation_y.astype(np.int32))
-        self.test_pairs = (jnp.asarray(network.test_pairs)
+        self.val_pairs = self._eval_pairs(network.validation_pairs)
+        self.val_y = self._eval_pairs(network.validation_y.astype(np.int32))
+        self.test_pairs = (self._eval_pairs(network.test_pairs)
                            if len(network.test_pairs) else None)
-        self.test_y = (jnp.asarray(network.test_y.astype(np.int32))
+        self.test_y = (self._eval_pairs(network.test_y.astype(np.int32))
                        if len(network.test_pairs) else None)
 
         self.iteration = 0
@@ -174,31 +174,49 @@ class EngineBase:
         pairs = np.concatenate([links, nonlinks.astype(np.int32)], axis=0)
         ys = np.concatenate([np.ones(len(links), np.int32),
                              np.zeros(len(nonlinks), np.int32)])
-        return jnp.asarray(pairs), jnp.asarray(ys)
+        return self._eval_pairs(pairs), self._eval_pairs(ys)
 
     # ------------------------------------------------------------------
     def _eval_arrays(self):
-        """gamma/lam as LOCAL device arrays for the host-side eval jits
-        (heldout stats, community extraction). Single-process: the live
-        state. Multi-process: the mesh state is a global array spanning
-        other hosts' devices and cannot mix with local eval inputs in one
-        jit, so evals run on a per-process replica copy (the state is
-        fully replicated in the supported multi-host mode, so np.asarray
-        is a local read). Cached per iteration."""
+        """gamma/lam for the eval jits (heldout stats, community
+        extraction) — the live state, in BOTH the single- and
+        multi-process cases: jit consumes global (replicated OR
+        row-sharded) arrays directly, inserting the cross-shard gathers
+        itself, as long as the other eval inputs are uncommitted host
+        arrays (see _eval_pairs). This is what lifts the old
+        'rowshard is single-host only' restriction."""
+        return self.gamma, self.lam
+
+    @staticmethod
+    def _eval_pairs(arr):
+        """Pair/label arrays for eval jits: committed single-device
+        arrays can't mix with multi-process global arrays in one jit, so
+        under multi-process they stay as host numpy (jit replicates
+        them); single-process keeps them on device."""
         import jax
         if jax.process_count() == 1:
-            return self.gamma, self.lam
-        if getattr(self, "_eval_cache_iter", -1) != self.iteration:
-            self._eval_g = jnp.asarray(np.asarray(self.gamma))
-            self._eval_l = jnp.asarray(np.asarray(self.lam))
-            self._eval_cache_iter = self.iteration
-        return self._eval_g, self._eval_l
+            return jnp.asarray(arr)
+        return np.asarray(arr)
+
+    def _host_gamma_lam(self):
+        """Full host copies for the text dumps (gamma.txt etc). A
+        COLLECTIVE for row-sharded multi-process state — every process
+        must call this together (they do: the engine loop is SPMD)."""
+        from svinet_tpu.io.checkpoint import host_read
+        return host_read(self.gamma), host_read(self.lam)
 
     # ------------------------------------------------------------------
     def _state_dict(self):
-        """State captured by native checkpoints; subclasses extend."""
+        """State captured by native checkpoints; subclasses extend. The
+        stopping controller's history IS state: without it a resumed run
+        restarts the plateau/drawdown tracking from scratch and the
+        annealing exit (or the stop itself) fires at a different
+        iteration than the uninterrupted run's."""
+        s = self.stopper
         return {"gamma": self.gamma, "lam": self.lam,
-                "iteration": self.iteration}
+                "iteration": self.iteration,
+                "stopper": [s.prev_h, s.max_h, s.max_t, float(s.nh),
+                            float(s.why), float(s.since_max)]}
 
     def _restore_state(self, state) -> None:
         import jax
@@ -209,15 +227,30 @@ class EngineBase:
         self.lam = (state["lam"] if isinstance(state["lam"], jax.Array)
                     else jnp.asarray(state["lam"]))
         self.iteration = int(state["iteration"])
+        st = state.get("stopper")
+        if st is not None:
+            s = self.stopper
+            (s.prev_h, s.max_h, s.max_t) = (float(st[0]), float(st[1]),
+                                            float(st[2]))
+            s.nh, s.why, s.since_max = (int(st[3]), int(st[4]),
+                                        int(st[5]))
 
     def _ckpt_shardings(self):
         """{array name: jax Sharding} for restoring state straight into
         its device layout; engines running on a mesh override this."""
         return None
 
+    def _ckpt_dir(self) -> str:
+        """Canonical checkpoint location: process 0's outdir in
+        multi-host runs (cli.py sets ckpt_outdir before appending the
+        per-process proc<i>/ suffix), so every process saves to and
+        resumes from the SAME state and iteration."""
+        return getattr(self.cfg, "ckpt_outdir", "") or self.cfg.outdir
+
     def save_checkpoint(self) -> None:
         from svinet_tpu.io.checkpoint import save_checkpoint
-        save_checkpoint(self.cfg.outdir, self._state_dict(), self.iteration)
+        save_checkpoint(self._ckpt_dir(), self._state_dict(),
+                        self.iteration)
         self._last_ckpt = time.time()
 
     def try_restore(self) -> bool:
@@ -225,7 +258,7 @@ class EngineBase:
         (the reference's -load reads the TSV model instead,
         src/linksampling.cc:1266-1352 — both paths are supported)."""
         from svinet_tpu.io.checkpoint import load_checkpoint
-        state = load_checkpoint(self.cfg.outdir,
+        state = load_checkpoint(self._ckpt_dir(),
                                 shardings=self._ckpt_shardings())
         if state is None:
             return False
@@ -334,9 +367,10 @@ class EngineBase:
         cfg = self.cfg
         edges, mask = self._community_edges()
         eg, el = self._eval_arrays()
+        from svinet_tpu.io.checkpoint import host_read
         argmax, maxval = edge_assignments(eg, el, edges, mask)
         self._communities = extract_communities(
-            np.asarray(argmax), np.asarray(maxval),
+            host_read(argmax), host_read(maxval),
             np.asarray(edges), np.asarray(mask),
             self.n, self.k, cfg.link_thresh, cfg.lt_min_deg)
         write_communities(cfg.file_str("communities.txt"),
@@ -370,20 +404,19 @@ class EngineBase:
         if not hasattr(self, "_ce_cache"):
             from svinet_tpu.ops.edges import pad_edges
             e, m = pad_edges(self.network.training_links, self.cfg.edge_block)
-            self._ce_cache = (jnp.asarray(e), jnp.asarray(m))
+            self._ce_cache = (self._eval_pairs(e), self._eval_pairs(m))
         return self._ce_cache
 
     def do_on_stop(self) -> None:
         self.log_communities()
-        save_model(self.cfg.outdir, np.asarray(self.gamma),
-                   np.asarray(self.lam), self.network.seq2id)
+        gamma, lam = self._host_gamma_lam()
+        save_model(self.cfg.outdir, gamma, lam, self.network.seq2id)
         write_groups(self.cfg.file_str("groups.txt"),
-                     np.asarray(self.gamma), self.network.seq2id)
+                     gamma, self.network.seq2id)
         # communities_size.txt + summary.txt (argmax-group census)
         with open(self.cfg.file_str("communities_size.txt"), "w") as f:
             for c in sorted(self._communities):
                 f.write(f"{c}\t{len(self._communities[c])}\n")
-        gamma = np.asarray(self.gamma)
         counts = np.bincount(gamma.argmax(1), minlength=self.k)
         with open(self.cfg.file_str("summary.txt"), "a") as f:
             f.write("\t".join(str(int(c)) for c in counts) + "\n")

@@ -250,11 +250,10 @@ class LinkSampling(EngineBase):
             if cfg.mesh_rowshard and not rowshard:
                 print(f"+ -mesh-rowshard needs n % {nd} == 0; "
                       "falling back to replicated gamma")
-            if rowshard and jax.process_count() > 1:
-                raise SystemExit(
-                    "+ -mesh-rowshard is single-host only for now: the "
-                    "report/community paths read gamma back to every "
-                    "host, which needs a cross-host allgather")
+            # rowshard composes with multi-host: the report/community/
+            # checkpoint paths consume the global row-sharded array
+            # directly (jitted eval over global arrays; text dumps via a
+            # tiled process_allgather, io/checkpoint.py:host_read)
             repl = NamedSharding(mesh, P())
             if rowshard:
                 # large-n: gamma/deg row-sharded, Elogpi all_gathered
@@ -302,8 +301,8 @@ class LinkSampling(EngineBase):
                 # uniform-hol.txt / biased-hol.txt
                 # (reference: src/linksampling.cc:1056-1074)
                 self._test_sets.append(
-                    (name, jnp.asarray(pairs),
-                     jnp.asarray(ys.astype(np.int32)),
+                    (name, self._eval_pairs(pairs),
+                     self._eval_pairs(ys.astype(np.int32)),
                      ReportFile(cfg.file_str(f"{name}-hol.txt"))))
 
         if cfg.resume and self.try_restore():
@@ -312,11 +311,15 @@ class LinkSampling(EngineBase):
     def _state_dict(self):
         d = super()._state_dict()
         d["annealing"] = bool(self.annealing)
+        d["anneal_hist"] = [float(x) for x in
+                            getattr(self, "_anneal_hist", [])]
         return d
 
     def _restore_state(self, state) -> None:
         super()._restore_state(state)
         self.annealing = bool(state.get("annealing", False))
+        self._anneal_hist = [float(x) for x in
+                             state.get("anneal_hist", [])]
 
     def _ckpt_shardings(self):
         """Under -mesh, restore gamma/lam straight onto the mesh layout
@@ -362,7 +365,8 @@ class LinkSampling(EngineBase):
                 # (reference: LinkSampling::biased_auc/uniform_auc,
                 # src/linksampling.cc:~1150)
                 from svinet_tpu.evals.likelihood import link_probs
-                probs = np.asarray(link_probs(eg, el, pairs))
+                from svinet_tpu.io.checkpoint import host_read
+                probs = host_read(link_probs(eg, el, pairs))
                 with open(self.cfg.file_str(f"{name}_auc.txt"), "w") as f:
                     for yy, u in zip(np.asarray(ys), probs):
                         f.write(f"{int(yy)} {u:.3f}\n")
@@ -435,17 +439,14 @@ class LinkSampling(EngineBase):
         if not hasattr(self, "_convf"):
             self._convf = open(self.cfg.file_str("convergence.txt"), "w")
             self._first_conv = np.zeros(self.n, np.int64)
-        # the count reduction runs on device so only (n,) int8 crosses the
-        # host link — at the n=1M/k=500 stretch a host gather of gamma is
-        # 2 GB per report. Multi-host global arrays reject eager jnp ops,
-        # so that path falls back to the replicated host copy.
-        import jax
-        if jax.process_count() == 1:
-            active = np.asarray(_active_counts(self.gamma,
-                                               jnp.float32(self.cfg.alpha)))
-        else:
-            active = (np.asarray(self.gamma) - self.cfg.alpha
-                      >= 1.0).sum(axis=1)
+        # the count reduction runs on device so only (n,) int32 crosses
+        # the host link — at the n=1M/k=500 stretch a host gather of
+        # gamma is 2 GB per report. Multi-process: the jit consumes the
+        # global (replicated or row-sharded) array and host_read gathers
+        # just the (n,) counts.
+        from svinet_tpu.io.checkpoint import host_read
+        active = host_read(_active_counts(self.gamma,
+                                          jnp.float32(self.cfg.alpha)))
         is_conv = active == 1
         newly = is_conv & (self._first_conv == 0)
         self._first_conv[newly] = max(self.duration(), 1)
@@ -473,7 +474,8 @@ class LinkSampling(EngineBase):
               if len(self.network.precision_pairs)
               else self.network.validation_y)
         eg, el = self._eval_arrays()
-        scores = np.asarray(link_probs(eg, el, jnp.asarray(pairs)))
+        from svinet_tpu.io.checkpoint import host_read
+        scores = host_read(link_probs(eg, el, self._eval_pairs(pairs)))
         with open(self.cfg.file_str("auc.txt"), "w") as f:
             for y, s in zip(ys, scores):
                 f.write(f"{int(y)} {s:.3f}\n")
@@ -505,9 +507,13 @@ class LinkSampling(EngineBase):
         # SURVEY §5 — the duration column contract)
         timef = open(cfg.file_str("time.txt"), "a" if cfg.resume else "w")
         last_t = time.time()
-        self.report()  # iteration-0 report (reference ctor does one)
         r = max(cfg.reportfreq, 1)
         if self.iteration == 0:
+            # iteration-0 report (reference ctor does one); a RESUMED run
+            # skips it — an extra report at a non-boundary iteration
+            # would feed the stopper/annealing history an update the
+            # uninterrupted run never saw
+            self.report()
             self.iteration = 1   # next report boundary is r, not 0 again
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:

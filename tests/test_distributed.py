@@ -167,3 +167,93 @@ def test_cli_two_process_linksampling(tmp_path, assort_path):
     g_single = np.array(
         [l.split("\t")[2:] for l in open(srun / "gamma.txt")], float)
     np.testing.assert_allclose(g_dist, g_single, rtol=2e-2, atol=1e-3)
+
+
+def _write_n64_graph(path):
+    """Deterministic n=64 graph (n % 8 == 0, every node covered): a ring
+    plus planted 4-block random edges."""
+    rng = np.random.default_rng(42)
+    edges = {(i, (i + 1) % 64) for i in range(64)}
+    for _ in range(400):
+        b = rng.integers(0, 4)
+        u, v = rng.integers(b * 16, (b + 1) * 16, 2)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    with open(path, "w") as f:
+        for u, v in sorted(edges):
+            f.write(f"{u}\t{v}\n")
+
+
+def test_cli_two_process_rowshard_matches_single(tmp_path):
+    """ROW-SHARDED gamma across 2 processes (-mesh 8 -mesh-rowshard
+    -dist-*): the multi-host x model-sharding composition (round-2
+    VERDICT #4). The final gamma must match a single-process
+    -mesh 8 -mesh-rowshard run with the same seed."""
+    graph = tmp_path / "n64.txt"
+    _write_n64_graph(graph)
+    port = _free_port()
+    base = ["-file", str(graph), "-n", "64", "-k", "4", "-link-sampling",
+            "-seed", "1", "-max-iterations", "10", "-no-stop",
+            "-rfreq", "5", "-mesh", "8", "-mesh-rowshard"]
+    cmds = [[sys.executable, "-m", "svinet_tpu", *base, "-label", "rsd",
+             "-dist-coordinator", f"localhost:{port}",
+             "-dist-nprocs", "2", "-dist-procid", str(pid)]
+            for pid in (0, 1)]
+    _run_pair(cmds, cwd=tmp_path)
+
+    rundir = tmp_path / "n64-k4-rsd-seed1-linksampling"
+    assert (rundir / "gamma.txt").exists()
+    g_dist = np.array([l.split("\t")[2:]
+                       for l in open(rundir / "gamma.txt")], float)
+
+    from svinet_tpu.cli import main
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = main([*base, "-label", "rss"])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    srun = tmp_path / "n64-k4-rss-seed1-linksampling"
+    g_single = np.array([l.split("\t")[2:]
+                         for l in open(srun / "gamma.txt")], float)
+    np.testing.assert_allclose(g_dist, g_single, rtol=2e-2, atol=1e-3)
+
+
+def test_cli_two_process_resume(tmp_path):
+    """Multi-host -resume (round-2 VERDICT #5): every process restores
+    the canonical (proc-0) checkpoint at the SAME iteration. A 6-iter
+    run + resume-to-12 must match an uninterrupted 12-iter run, on the
+    row-sharded 2-process mesh."""
+    graph = tmp_path / "n64.txt"
+    _write_n64_graph(graph)
+    base = ["-file", str(graph), "-n", "64", "-k", "4", "-link-sampling",
+            "-seed", "1", "-no-stop", "-rfreq", "5", "-mesh", "8",
+            "-mesh-rowshard", "-checkpoint-freq", "100000"]
+
+    def run_dist(label, extra):
+        port = _free_port()
+        cmds = [[sys.executable, "-m", "svinet_tpu", *base, *extra,
+                 "-label", label,
+                 "-dist-coordinator", f"localhost:{port}",
+                 "-dist-nprocs", "2", "-dist-procid", str(pid)]
+                for pid in (0, 1)]
+        _run_pair(cmds, cwd=tmp_path)
+
+    run_dist("full", ["-max-iterations", "12"])
+    run_dist("part", ["-max-iterations", "6"])
+    # the interrupted run saved its checkpoint in do_on_stop; resume it
+    rundir = tmp_path / "n64-k4-part-seed1-linksampling"
+    assert (rundir / "ckpt").exists(), "no checkpoint written at stop"
+    assert not (rundir / "proc1" / "ckpt").exists(), \
+        "proc 1 wrote its own checkpoint — canonical-dir fix regressed"
+    run_dist("part", ["-max-iterations", "12", "-resume"])
+
+    g_full = np.array([l.split("\t")[2:] for l in open(
+        tmp_path / "n64-k4-full-seed1-linksampling" / "gamma.txt")], float)
+    g_part = np.array([l.split("\t")[2:]
+                       for l in open(rundir / "gamma.txt")], float)
+    np.testing.assert_allclose(g_part, g_full, rtol=2e-2, atol=1e-3)
+    # and the resumed run logged its restored iteration
+    log = open(rundir / "infer.log").read()
+    assert "stopped at iteration 13" in log
