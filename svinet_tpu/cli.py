@@ -116,6 +116,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.dist_procid = int(nxt())
         elif a == "-freeze":
             cfg.freeze_converged = True
+        elif a == "-fuse-s3":
+            cfg.fuse_s3 = True
         elif a == "-anneal-drawdown":
             cfg.anneal_drawdown = float(nxt())
         elif a == "-anneal-plateau-rate":

@@ -125,6 +125,11 @@ class Config:
     freeze_converged: bool = False  # -freeze: reference's converged-node
                                     # hard assignments (consolidates
                                     # communities when K overshoots)
+    fuse_s3: bool = False           # -fuse-s3: fold the s3 cross-moment
+                                    # gathers into the phi pass over a
+                                    # packed (n,2K) array, lagging s3 by
+                                    # one sweep (README §Roofline; ~10%
+                                    # faster at the K=500 stretch shape)
     # annealing-phase exit thresholds (LinkSampling.report; defaults were
     # tuned on assort/LFR/ca-AstroPh, sensitivity table in README §annealing)
     anneal_drawdown: float = 0.08   # relative nshol drop below best that

@@ -43,7 +43,7 @@ from svinet_tpu.ops.edges import pad_edges
 from svinet_tpu.svi.base import EngineBase
 from svinet_tpu.svi.sweep_math import (
     LSConsts, phi_pass, mean_indicator_update, s3_pass, finish_lambda,
-    converged_of,
+    converged_of, fused_phi_s3_pass,
 )
 from svinet_tpu.io.writers import load_model
 
@@ -101,6 +101,35 @@ def linksampling_multi_sweep(gamma, lam, edges, mask, deg,
         return _sweep_body(g, l, edges, mask, deg, consts, annealing,
                            num_blocks, freeze)
     return jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
+
+
+def _fused_sweep_body(gamma, lam, mphi, edges, mask, deg,
+                      consts: LSConsts, annealing, num_blocks: int):
+    """-fuse-s3 sweep: one edge pass over packed [Elogpi | mphi_prev]
+    rows computes phi stats AND the (one-sweep-lagged) s3 cross-moment
+    — two fewer row gathers per edge (README Roofline: the sweep is
+    row-op bound). Carries mphi between sweeps."""
+    elogpi = dirichlet_expectation(gamma)
+    elogbeta = dirichlet_expectation(lam)
+    packed = jnp.concatenate([elogpi, mphi], axis=1)
+    gacc, sumk, s3 = fused_phi_s3_pass(packed, elogbeta[:, 0], edges,
+                                       mask, num_blocks)
+    gnext, mphi_new, s1, s2, lam0 = mean_indicator_update(
+        gacc, sumk, deg, consts, annealing)
+    return gnext, finish_lambda(s1, s2, s3, lam0, consts), mphi_new
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("num_blocks", "n_sweeps"))
+def linksampling_fused_multi_sweep(gamma, lam, mphi, edges, mask, deg,
+                                   consts: LSConsts, annealing,
+                                   num_blocks: int, n_sweeps: int):
+    """n_sweeps -fuse-s3 sweeps fused into one device program."""
+    def body(_, state):
+        g, l, m = state
+        return _fused_sweep_body(g, l, m, edges, mask, deg, consts,
+                                 annealing, num_blocks)
+    return jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam, mphi))
 
 
 @jax.jit
@@ -223,6 +252,13 @@ class LinkSampling(EngineBase):
         self.annealing = True
         self._ce_cache = (self.edges, self.mask)  # reuse for communities
 
+        if cfg.fuse_s3 and cfg.freeze_converged:
+            print("+ -fuse-s3 has no converged-freezing fast path; "
+                  "running unfused to honor -freeze")
+            cfg.fuse_s3 = False
+        if cfg.fuse_s3:
+            cfg.plog("fuse s3", True)
+
         # -mesh N: data-parallel sweep over a device mesh — training links
         # sharded, gamma/lambda replicated, sufficient statistics psum'd
         # (the TPU equivalent of the reference's pthread map-reduce,
@@ -276,6 +312,10 @@ class LinkSampling(EngineBase):
             del self._ce_cache      # communities rebuild a local pad
             cfg.plog("mesh devices", nd)
             cfg.plog("mesh rowshard", rowshard)
+            if cfg.fuse_s3:
+                print("+ -fuse-s3 is single-device only; ignored "
+                      "under -mesh")
+                cfg.fuse_s3 = False
 
         # -load-test-sets: fixed uniform/biased heldout pair files from
         # the cwd, each with its own per-report likelihood trace
@@ -336,6 +376,15 @@ class LinkSampling(EngineBase):
             self.gamma, self.lam = self._mesh_sweep(
                 self.gamma, self.lam, self.edges, self.mask, self.deg,
                 self.consts, ann, n_sweeps)
+            return
+        if self.cfg.fuse_s3:
+            # mphi carries across sweeps (zeros at init/resume: one
+            # transient sweep with s3=0, converged semantics identical)
+            if not hasattr(self, "mphi"):
+                self.mphi = jnp.zeros((self.n, self.k), jnp.float32)
+            self.gamma, self.lam, self.mphi = linksampling_fused_multi_sweep(
+                self.gamma, self.lam, self.mphi, self.edges, self.mask,
+                self.deg, self.consts, ann, self.num_blocks, n_sweeps)
             return
         fz = bool(self.cfg.freeze_converged)
         if n_sweeps == 1:

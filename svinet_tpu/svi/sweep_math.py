@@ -138,3 +138,49 @@ def finish_lambda(s1, s2, s3, lam0, consts: LSConsts) -> jax.Array:
     """lambda1 = eta1 + s1^2 - s2 - s3 (src/linksampling.cc:748)."""
     lam1 = consts.eta[1] + s1 * s1 - s2 - s3
     return jnp.stack([lam0, lam1], axis=1)
+
+
+def fused_phi_s3_pass(packed, elb0, edges, mask, num_blocks: int
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """phi_pass and s3_pass in ONE edge sweep over a packed (n, 2K)
+    array [Elogpi | mphi_prev] (-fuse-s3).
+
+    The roofline study (README "Roofline") shows the sweep is bound by
+    the per-row gather/scatter op rate (~12.3 ns fixed per row), so the
+    separate s3_pass's two extra row gathers per edge cost ~23% of the
+    sweep; gathering rows twice as wide costs only the marginal bytes.
+    The price is a one-sweep LAG on the cross-moment: s3 at sweep t
+    uses mphi from sweep t-1 (the current sweep's mean indicators need
+    this sweep's completed gacc, reference order
+    src/linksampling.cc:731-749). s1^2 and s2 stay current (they are
+    (n,K) reductions, no edge gathers). At the fixed point
+    mphi_t = mphi_{t-1}, so the converged semantics are identical; the
+    transient differs only in lambda1's correction term. Parity is
+    pinned by tests/test_parity.py::test_lfr_fused_s3.
+
+    Returns (gacc (n,K), sumk (K,), s3 (K,)).
+    """
+    n, k2 = packed.shape
+    k = k2 // 2
+    e_blocks = edges.reshape(num_blocks, -1, 2)
+    m_blocks = mask.reshape(num_blocks, -1)
+
+    def block(carry, blk):
+        gacc, sumk, s3 = carry
+        e, m = blk
+        p, q = e[:, 0], e[:, 1]
+        rp, rq = packed[p], packed[q]
+        logits = rp[:, :k] + rq[:, :k] + elb0
+        phi = jax.nn.softmax(logits, axis=-1) * m[:, None]
+        gacc = gacc.at[p].add(phi)
+        gacc = gacc.at[q].add(phi)
+        sumk = sumk + 2.0 * phi.sum(axis=0)
+        s3 = s3 + (rp[:, k:] * rq[:, k:] * m[:, None]).sum(axis=0)
+        return (gacc, sumk, s3), None
+
+    (gacc, sumk, s3), _ = jax.lax.scan(
+        block,
+        (jnp.zeros((n, k), packed.dtype), jnp.zeros((k,), packed.dtype),
+         jnp.zeros((k,), packed.dtype)),
+        (e_blocks, m_blocks))
+    return gacc, sumk, s3

@@ -58,6 +58,30 @@ def test_lfr_linksampling_nmi_parity(tmp_path, lfr_paths, seed, monkeypatch):
             f"annealing exit {m.group(1)} outside studied range"
 
 
+def test_lfr_fused_s3(tmp_path, lfr_paths, monkeypatch):
+    """-fuse-s3 (one-sweep-lagged s3 cross-moment, README Roofline) must
+    hold the same statistical parity bands as the default path: the lag
+    only perturbs lambda1's correction term during the transient and
+    vanishes at the fixed point."""
+    monkeypatch.chdir(tmp_path)
+    cfg = parse_args([
+        "-file", lfr_paths["network"], "-n", "1000", "-k", "28",
+        "-link-sampling", "-fuse-s3", "-nmi", lfr_paths["ground_truth"],
+        "-seed", "1", "-label", "fuseds3", "-max-iterations", "120",
+    ])
+    net = Network(cfg)
+    net.read(cfg.datfname)
+    from svinet_tpu.svi.linksampling import LinkSampling
+    eng = LinkSampling(cfg, net)
+    eng.infer()
+    nmis = [float(line.split()[-1])
+            for line in open(cfg.file_str("mutual.txt"))]
+    assert max(nmis) >= 0.95, f"NMI too low: {max(nmis)}"
+    maxrow = open(cfg.file_str("max.txt")).read().split()
+    best_nshol = float(maxrow[4])
+    assert -0.116 < best_nshol < -0.105, f"nshol out of range: {best_nshol}"
+
+
 def test_astroph_linksampling_40iter_parity(tmp_path, monkeypatch):
     """ca-AstroPh headline config, 40-iteration horizon — the cheap
     deterministic variant that runs in the DEFAULT suite (the full
