@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from svinet_tpu.svi.sweep_math import (
     LSConsts, phi_pass, mean_indicator_update, s3_pass, finish_lambda,
+    fused_phi_s3_pass,
 )
 
 
@@ -127,6 +128,111 @@ def make_sharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
              n_sweeps: int):
         return build(int(n_sweeps))(gamma, lam, edges, mask, deg, consts,
                                     annealing)
+
+    return call
+
+
+def make_sharded_fused_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
+                                   axis: str = "edges") -> Callable:
+    """-fuse-s3 variant of make_sharded_multi_sweep: phi stats and the
+    one-sweep-lagged s3 cross-moment in a single pass over the local
+    edge shard via packed [Elogpi | mphi] rows (README Roofline; parity
+    pinned by tests/test_parity.py::test_lfr_fused_s3). Carries the
+    replicated mphi between sweeps."""
+    import jax.numpy as jnp
+
+    @functools.lru_cache(maxsize=None)
+    def build(n_sweeps: int):
+        def _local(gamma, lam, mphi, edges, mask, deg, consts, annealing):
+            from svinet_tpu.ops.expectations import dirichlet_expectation
+
+            def body(_, state):
+                g, l, m = state
+                packed = jnp.concatenate(
+                    [dirichlet_expectation(g), m], axis=1)
+                elogbeta = dirichlet_expectation(l)
+                gacc, sumk, s3 = fused_phi_s3_pass(
+                    packed, elogbeta[:, 0], edges, mask,
+                    num_blocks_per_shard)
+                gacc = jax.lax.psum(gacc, axis)
+                sumk = jax.lax.psum(sumk, axis)
+                s3 = jax.lax.psum(s3, axis)
+                gnext, m_new, s1, s2, lam0 = mean_indicator_update(
+                    gacc, sumk, deg, consts, annealing)
+                return gnext, finish_lambda(s1, s2, s3, lam0,
+                                            consts), m_new
+
+            return jax.lax.fori_loop(0, n_sweeps, body,
+                                     (gamma, lam, mphi))
+
+        sharded = jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(),
+                      LSConsts(P(), P(), P(), P()), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)
+        return jax.jit(sharded, donate_argnums=(0, 1, 2))
+
+    def call(gamma, lam, mphi, edges, mask, deg, consts, annealing,
+             n_sweeps: int):
+        return build(int(n_sweeps))(gamma, lam, mphi, edges, mask, deg,
+                                    consts, annealing)
+
+    return call
+
+
+def make_rowsharded_fused_multi_sweep(mesh: Mesh,
+                                      num_blocks_per_shard: int,
+                                      axis: str = "edges") -> Callable:
+    """-fuse-s3 variant of make_rowsharded_multi_sweep: the local
+    [Elogpi | mphi] rows are packed BEFORE the all_gather, so one
+    (n/d, 2K) tiled all_gather replaces the two (n, K) gathers of the
+    unfused path, and the edge pass computes phi stats and the lagged
+    s3 together. Carries the row-sharded mphi between sweeps."""
+    import jax.numpy as jnp
+
+    @functools.lru_cache(maxsize=None)
+    def build(n_sweeps: int):
+        def _local(gamma, lam, mphi_l, edges, mask, deg, consts,
+                   annealing):
+            from svinet_tpu.ops.expectations import dirichlet_expectation
+
+            def body(_, state):
+                g, l, m_l = state
+                packed = jax.lax.all_gather(
+                    jnp.concatenate([dirichlet_expectation(g), m_l],
+                                    axis=1), axis, tiled=True)
+                elogbeta = dirichlet_expectation(l)
+                gacc_full, sumk, s3_l = fused_phi_s3_pass(
+                    packed, elogbeta[:, 0], edges, mask,
+                    num_blocks_per_shard)
+                sumk = jax.lax.psum(sumk, axis)
+                s3 = jax.lax.psum(s3_l, axis)
+                gacc = jax.lax.psum_scatter(gacc_full, axis,
+                                            scatter_dimension=0,
+                                            tiled=True)
+                gnext, m_new, s1_l, s2_l, lam0 = mean_indicator_update(
+                    gacc, sumk, deg, consts, annealing)
+                s1 = jax.lax.psum(s1_l, axis)
+                s2 = jax.lax.psum(s2_l, axis)
+                return gnext, finish_lambda(s1, s2, s3, lam0,
+                                            consts), m_new
+
+            return jax.lax.fori_loop(0, n_sweeps, body,
+                                     (gamma, lam, mphi_l))
+
+        sharded = jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis),
+                      LSConsts(P(), P(), P(), P()), P()),
+            out_specs=(P(axis), P(), P(axis)),
+            check_vma=False)
+        return jax.jit(sharded, donate_argnums=(0, 1, 2))
+
+    def call(gamma, lam, mphi, edges, mask, deg, consts, annealing,
+             n_sweeps: int):
+        return build(int(n_sweeps))(gamma, lam, mphi, edges, mask, deg,
+                                    consts, annealing)
 
     return call
 

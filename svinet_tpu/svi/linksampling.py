@@ -293,17 +293,32 @@ class LinkSampling(EngineBase):
             repl = NamedSharding(mesh, P())
             if rowshard:
                 # large-n: gamma/deg row-sharded, Elogpi all_gathered
-                from svinet_tpu.parallel.mesh import global_put
-                self._mesh_sweep = make_rowsharded_multi_sweep(
-                    mesh, per_shard // block)
+                from svinet_tpu.parallel.mesh import (
+                    global_put, make_rowsharded_fused_multi_sweep)
                 row = NamedSharding(mesh, P("edges"))
+                if cfg.fuse_s3:
+                    self._mesh_sweep = make_rowsharded_fused_multi_sweep(
+                        mesh, per_shard // block)
+                    self.mphi = global_put(
+                        jnp.zeros((n, k), jnp.float32), row)
+                else:
+                    self._mesh_sweep = make_rowsharded_multi_sweep(
+                        mesh, per_shard // block)
                 self.gamma = global_put(self.gamma, row)
                 self.deg = global_put(self.deg, row)
                 self.lam, = device_put_replicated(mesh, self.lam)
                 self._mesh_shardings = {"gamma": row, "lam": repl}
             else:
-                self._mesh_sweep = make_sharded_multi_sweep(
-                    mesh, per_shard // block)
+                from svinet_tpu.parallel.mesh import (
+                    make_sharded_fused_multi_sweep)
+                if cfg.fuse_s3:
+                    self._mesh_sweep = make_sharded_fused_multi_sweep(
+                        mesh, per_shard // block)
+                    self.mphi, = device_put_replicated(
+                        mesh, jnp.zeros((n, k), jnp.float32))
+                else:
+                    self._mesh_sweep = make_sharded_multi_sweep(
+                        mesh, per_shard // block)
                 self.gamma, self.lam, self.deg = device_put_replicated(
                     mesh, self.gamma, self.lam, self.deg)
                 self._mesh_shardings = {"gamma": repl, "lam": repl}
@@ -312,10 +327,6 @@ class LinkSampling(EngineBase):
             del self._ce_cache      # communities rebuild a local pad
             cfg.plog("mesh devices", nd)
             cfg.plog("mesh rowshard", rowshard)
-            if cfg.fuse_s3:
-                print("+ -fuse-s3 is single-device only; ignored "
-                      "under -mesh")
-                cfg.fuse_s3 = False
 
         # -load-test-sets: fixed uniform/biased heldout pair files from
         # the cwd, each with its own per-report likelihood trace
@@ -373,9 +384,14 @@ class LinkSampling(EngineBase):
         program (one host round trip)."""
         ann = jnp.float32(1.0 if self.annealing else 0.0)
         if self._mesh_sweep is not None:
-            self.gamma, self.lam = self._mesh_sweep(
-                self.gamma, self.lam, self.edges, self.mask, self.deg,
-                self.consts, ann, n_sweeps)
+            if self.cfg.fuse_s3:
+                self.gamma, self.lam, self.mphi = self._mesh_sweep(
+                    self.gamma, self.lam, self.mphi, self.edges,
+                    self.mask, self.deg, self.consts, ann, n_sweeps)
+            else:
+                self.gamma, self.lam = self._mesh_sweep(
+                    self.gamma, self.lam, self.edges, self.mask,
+                    self.deg, self.consts, ann, n_sweeps)
             return
         if self.cfg.fuse_s3:
             # mphi carries across sweeps (zeros at init/resume: one

@@ -221,6 +221,30 @@ def test_cli_mesh_rowshard_matches_single_device(tmp_path, monkeypatch):
                                atol=2e-3)
 
 
+def test_cli_mesh_fused_s3_matches_single_device(tmp_path, monkeypatch):
+    """-fuse-s3 under -mesh 8 and -mesh 5 -mesh-rowshard must match the
+    single-device -fuse-s3 run (the one-sweep s3 lag is identical in all
+    three paths; only the collective layout differs)."""
+    import numpy as np
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    for label, extra in (("fone", []), ("fmesh", ["-mesh", "8"]),
+                         ("frs", ["-mesh", "5", "-mesh-rowshard"])):
+        rc = main(["-file", assort, "-n", "75", "-k", "4",
+                   "-link-sampling", "-fuse-s3", "-label", label,
+                   "-seed", "1", "-max-iterations", "20", "-no-stop",
+                   "-rfreq", "10", *extra])
+        assert rc == 0
+    def load(label):
+        d = tmp_path / f"n75-k4-{label}-seed1-linksampling"
+        rows = [l.split() for l in open(d / "gamma.txt") if l.strip()]
+        return np.array([[float(v) for v in r[2:]] for r in rows])
+    g1 = load("fone")
+    np.testing.assert_allclose(load("fmesh"), g1, rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(load("frs"), g1, rtol=2e-4, atol=2e-3)
+
+
 def test_rowshard_checkpoint_stays_sharded(tmp_path, monkeypatch):
     """-mesh-rowshard checkpoints: gamma is handed to orbax as the
     row-sharded jax.Array (no host gather) and restores straight onto the
