@@ -22,12 +22,17 @@ DATA = "/root/reference/example/ca-AstroPh.csv"
 BASELINE_EDGES_PER_SEC = 99 * 193031 / 77.0  # ~248k phi-updates(edges)/s
 
 
-def synth_main(n: int, k: int, n_edges: int, emit: bool = True) -> dict:
+def synth_main(n: int, k: int, n_edges: int, emit: bool = True,
+               fused: bool = False) -> dict:
     """Stretch benchmark: synthetic MMSB-scale sweep (BASELINE.json's
     n=1M/k=500 config). Random planted edges; measures raw sweep
-    throughput at a size no single 2013 CPU core could touch."""
+    throughput at a size no single 2013 CPU core could touch.
+    fused=True measures the -fuse-s3 sweep (README Roofline). State is
+    initialized ON DEVICE: a 2 GB host gamma upload through the axon
+    tunnel takes minutes and times benchmarks out."""
     from svinet_tpu.ops.edges import pad_edges
-    from svinet_tpu.svi.linksampling import linksampling_sweep
+    from svinet_tpu.svi.linksampling import (
+        linksampling_sweep, linksampling_fused_multi_sweep)
     from svinet_tpu.svi.sweep_math import LSConsts
 
     rng = np.random.default_rng(0)
@@ -42,27 +47,45 @@ def synth_main(n: int, k: int, n_edges: int, emit: bool = True) -> dict:
     block = choose_edge_block(n_edges, k)
     edges_p, mask = pad_edges(edges, block)
     nb = edges_p.shape[0] // block
-    gamma = jnp.asarray(rng.gamma(1.0, 1.0, (n, k)), jnp.float32)
-    lam = jnp.asarray(np.tile([1.0, 1.0], (k, 1)), jnp.float32)
+
+    @jax.jit
+    def _init(key):
+        # Gamma(1,1) == Exponential(1) (jax.random.gamma's rejection
+        # sampler needs ~30 GB of temps at this shape)
+        return (jax.random.exponential(key, (n, k), jnp.float32),
+                jnp.ones((k, 2), jnp.float32))
+
+    gamma, lam = _init(jax.random.PRNGKey(0))
     consts = LSConsts(alpha=jnp.float32(1.0 / k),
                       eta=jnp.asarray([1.0, 1.0], jnp.float32),
                       ones=jnp.float32(n_edges), n_nodes=jnp.float32(n))
     e_d, m_d, d_d = (jnp.asarray(edges_p), jnp.asarray(mask),
                      jnp.asarray(deg))
     ann = jnp.float32(1.0)
-    gamma, lam = linksampling_sweep(gamma, lam, e_d, m_d, d_d, consts,
-                                    ann, nb)
-    float(gamma[0, 0])   # true completion barrier (see main())
     iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        gamma, lam = linksampling_sweep(gamma, lam, e_d, m_d, d_d, consts,
-                                        ann, nb)
-    float(gamma[0, 0])
+    if fused:
+        mphi = jnp.zeros((n, k), jnp.float32)
+        state = linksampling_fused_multi_sweep(
+            gamma, lam, mphi, e_d, m_d, d_d, consts, ann, nb, iters)
+        float(state[0][0, 0])   # true completion barrier (see main())
+        t0 = time.perf_counter()
+        state = linksampling_fused_multi_sweep(
+            *state, e_d, m_d, d_d, consts, ann, nb, iters)
+        float(state[0][0, 0])
+    else:
+        gamma, lam = linksampling_sweep(gamma, lam, e_d, m_d, d_d,
+                                        consts, ann, nb)
+        float(gamma[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            gamma, lam = linksampling_sweep(gamma, lam, e_d, m_d, d_d,
+                                            consts, ann, nb)
+        float(gamma[0, 0])
     dt = time.perf_counter() - t0
     eps = iters * n_edges / dt
     rec = {
-        "metric": f"linksampling_edges_per_sec_synth_n{n}_k{k}",
+        "metric": (f"linksampling_edges_per_sec_synth_n{n}_k{k}"
+                   + ("_fused_s3" if fused else "")),
         "value": round(eps, 1),
         "unit": "edges/sec",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 3),
@@ -137,12 +160,18 @@ def main() -> None:
         stretch = synth_main(1_000_000, 500, 20_000_000, emit=False)
     except Exception as e:  # never let the stretch kill the headline
         stretch = {"error": repr(e)}
+    try:
+        stretch_fused = synth_main(1_000_000, 500, 20_000_000,
+                                   emit=False, fused=True)
+    except Exception as e:
+        stretch_fused = {"error": repr(e)}
     print(json.dumps({
         "metric": "linksampling_edges_per_sec_ca-AstroPh_k20",
         "value": round(eps, 1),
         "unit": "edges/sec",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 3),
         "stretch": stretch,
+        "stretch_fused_s3": stretch_fused,
         # completed END-TO-END n=1M/k=500 inference run (STRETCH.md;
         # tools/stretch_run.py --gen --run --score on the v5e, 2026-08-20):
         # real heldout eval + nshol stopping + sharded checkpoints, scored

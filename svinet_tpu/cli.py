@@ -53,6 +53,7 @@ svinet [OPTIONS]
 \t-dist-nprocs <N>\tnumber of hosts (launch one process per host)
 \t-dist-procid <I>\tthis host's process index
 \t-freeze\t\tfreeze converged nodes (consolidates overshot K)
+\t-fuse-s3\tfold the s3 cross-moment into the phi pass (1-sweep lag)
 \t-fastqueue <W>\tsparse top-W gamma for -infset at huge K
 \t-findk-width <W>\toverride -findk's sparse label slots per node
 \t-anneal-drawdown <d>\tannealing-exit drawdown threshold (default 0.08)

@@ -184,17 +184,20 @@ def _write_n64_graph(path):
             f.write(f"{u}\t{v}\n")
 
 
-def test_cli_two_process_rowshard_matches_single(tmp_path):
+@pytest.mark.parametrize("extra", [[], ["-fuse-s3"]],
+                         ids=["plain", "fuse-s3"])
+def test_cli_two_process_rowshard_matches_single(tmp_path, extra):
     """ROW-SHARDED gamma across 2 processes (-mesh 8 -mesh-rowshard
     -dist-*): the multi-host x model-sharding composition (round-2
     VERDICT #4). The final gamma must match a single-process
-    -mesh 8 -mesh-rowshard run with the same seed."""
+    -mesh 8 -mesh-rowshard run with the same seed. Parametrized over
+    -fuse-s3 (the packed-row fused sweep must hold the same equality)."""
     graph = tmp_path / "n64.txt"
     _write_n64_graph(graph)
     port = _free_port()
     base = ["-file", str(graph), "-n", "64", "-k", "4", "-link-sampling",
             "-seed", "1", "-max-iterations", "10", "-no-stop",
-            "-rfreq", "5", "-mesh", "8", "-mesh-rowshard"]
+            "-rfreq", "5", "-mesh", "8", "-mesh-rowshard", *extra]
     cmds = [[sys.executable, "-m", "svinet_tpu", *base, "-label", "rsd",
              "-dist-coordinator", f"localhost:{port}",
              "-dist-nprocs", "2", "-dist-procid", str(pid)]
