@@ -242,10 +242,12 @@ def global_put(arr, sharding):
     sharding spans devices of other processes, build the global jax.Array
     from the locally-addressable shards only (every process holds the
     full host copy — they all ingest the same graph — so the callback
-    just slices it)."""
-    arr = np.asarray(arr)
+    just slices it). Single-process arrays pass straight to device_put —
+    np.asarray on a device-resident array is a full host readback
+    (minutes for the 2 GB stretch gamma through the axon tunnel)."""
     if jax.process_count() == 1:
         return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
     return jax.make_array_from_callback(arr.shape, sharding,
                                         lambda idx: arr[idx])
 

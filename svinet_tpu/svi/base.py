@@ -62,7 +62,8 @@ class EngineBase:
 
         # infer.log (reference: Logger, src/log.cc:9-127) + network.dat
         # symlink of the input (reference: src/env.hh:621-625)
-        self._log = open(cfg.file_str("infer.log"), "w")
+        self._log = open(cfg.file_str("infer.log"),
+                 "a" if getattr(cfg, "resume", False) else "w")
         self.log("engine: %s  n: %d  k: %d", type(self).__name__,
                  network.n, cfg.k)
         import os
@@ -76,7 +77,8 @@ class EngineBase:
         # training-sample likelihood trace (reference: TRAINING_SAMPLE,
         # training.txt in the bundled runs)
         self._train_sample = self._make_training_sample()
-        self._trf = ReportFile(cfg.file_str("training.txt"))
+        self._trf = ReportFile(cfg.file_str("training.txt"),
+                       append=bool(getattr(cfg, "resume", False)))
 
         # training-edges.txt: external-id dump of the training links
         from svinet_tpu.io.native import write_edges_tsv
@@ -134,7 +136,8 @@ class EngineBase:
         self._mutual = None
         if cfg.nmi and network.ground_truth is not None:
             network.write_gt_communities(cfg.file_str("ground_truth.txt"))
-            self._mutual = open(cfg.file_str("mutual.txt"), "w")
+            self._mutual = open(cfg.file_str("mutual.txt"),
+                                "a" if app else "w")
         self._communities = {}
 
         cfg.write_param_txt()
@@ -247,28 +250,67 @@ class EngineBase:
         resumes from the SAME state and iteration."""
         return getattr(self.cfg, "ckpt_outdir", "") or self.cfg.outdir
 
-    def save_checkpoint(self) -> None:
+    def save_checkpoint(self, iteration: "int | None" = None) -> None:
+        """iteration overrides the stored step; checkpoints store the
+        NEXT iteration to run, so a save taken after sweep j completes
+        (report boundaries, SIGTERM) passes j+1 — a resumed run must not
+        repeat sweep j or double-feed the stopper."""
         from svinet_tpu.io.checkpoint import save_checkpoint
-        save_checkpoint(self._ckpt_dir(), self._state_dict(),
-                        self.iteration)
+        state = self._state_dict()
+        if iteration is not None:
+            state["iteration"] = int(iteration)
+        save_checkpoint(self._ckpt_dir(), state, state["iteration"])
         self._last_ckpt = time.time()
 
     def try_restore(self) -> bool:
         """Resume from the newest native checkpoint in the output dir
         (the reference's -load reads the TSV model instead,
         src/linksampling.cc:1266-1352 — both paths are supported)."""
+        import jax
         from svinet_tpu.io.checkpoint import load_checkpoint
         state = load_checkpoint(self._ckpt_dir(),
                                 shardings=self._ckpt_shardings())
-        if state is None:
-            return False
-        self._restore_state(state)
-        return True
+        restored = state is not None
+        if restored:
+            self._restore_state(state)
+        if jax.process_count() > 1:
+            # every process must restore the SAME step or the SPMD loops
+            # dispatch collective programs with different trip counts and
+            # hang; a mismatch means the canonical (proc-0) checkpoint
+            # dir is not visible here — multi-host -resume requires the
+            # outdir on a shared filesystem
+            from jax.experimental import multihost_utils
+            steps = multihost_utils.process_allgather(
+                np.asarray([self.iteration if restored else -1],
+                           np.int64))
+            if len(np.unique(steps)) != 1:
+                raise SystemExit(
+                    f"+ -resume: processes disagree on the restored "
+                    f"iteration ({steps.ravel().tolist()}); multi-host "
+                    f"resume requires the output dir on a shared "
+                    f"filesystem")
+        return restored
 
     def _maybe_periodic_checkpoint(self) -> None:
+        """Called at report boundary `iteration` with that sweep+report
+        complete (so the checkpoint stores iteration+1). Under
+        multi-process the per-host wall-clock decision (and a SIGTERM
+        that may have reached only one host) is OR-agreed across
+        processes first — save_checkpoint on row-sharded state is a
+        collective, and a subset of processes entering it deadlocks the
+        others."""
+        import jax
         freq = getattr(self.cfg, "checkpoint_freq", 0.0)
-        if freq and time.time() - self._last_ckpt >= freq:
-            self.save_checkpoint()
+        due = bool(freq and time.time() - self._last_ckpt >= freq)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            flags = multihost_utils.process_allgather(
+                np.asarray([due, self.terminate_requested], np.int32))
+            due = bool(flags.reshape(-1, 2)[:, 0].any())
+            self.terminate_requested = bool(
+                flags.reshape(-1, 2)[:, 1].any())
+        if due:
+            self.save_checkpoint(self.iteration + 1)
 
     def _heldout(self, pairs, y) -> "HeldoutResult":
         """Heldout likelihood over a pair set; engines with a non-dense
@@ -297,7 +339,8 @@ class EngineBase:
             # (iter, dur, avg, avg_links, avg_nonlinks, n_links, n_nonlinks;
             # reference: src/mmsbinfer.cc:2366, src/fastamm.cc:1720)
             if not hasattr(self, "_statsf"):
-                self._statsf = open(cfg.file_str("stats.txt"), "w")
+                self._statsf = open(cfg.file_str("stats.txt"),
+                                    "a" if cfg.resume else "w")
             self._statsf.write(
                 f"{self.iteration}\t{self.duration()}\t{trres.avg:.5f}\t"
                 f"{trres.avg1:.5f}\t{trres.avg0:.5f}\t{trres.count1}\t"
@@ -333,7 +376,8 @@ class EngineBase:
         # LinkSampling writes its own per-chunk rows instead.
         if not getattr(self, "writes_own_timefile", False):
             if not hasattr(self, "_timef"):
-                self._timef = open(cfg.file_str("time.txt"), "w")
+                self._timef = open(cfg.file_str("time.txt"),
+                                   "a" if cfg.resume else "w")
             self._timef.write(f"{self.iteration}\t{self.duration()}\n")
             self._timef.flush()
 
@@ -349,6 +393,18 @@ class EngineBase:
         # at the n=1M stretch). do_on_stop always writes them.
         if self._mutual is not None or self.n * self.k <= (1 << 24):
             self.log_communities()
+        if not getattr(self, "defer_report_hooks", False):
+            self._end_of_report()
+        return stop and cfg.use_validation_stop
+
+    def _end_of_report(self) -> None:
+        """Periodic-checkpoint + SIGTERM handling at the END of a report.
+        Engines whose report() override updates state AFTER
+        super().report() (LinkSampling's annealing decision) set
+        defer_report_hooks = True and call this themselves, so the
+        checkpoint snapshots the post-decision state — a snapshot taken
+        mid-report resumes with a stopper that was updated but an
+        annealing history that wasn't."""
         self._maybe_periodic_checkpoint()
         if self.terminate_requested:
             # SIGTERM: save everything and keep running
@@ -356,12 +412,12 @@ class EngineBase:
             self.terminate_requested = False
             self.log("SIGTERM: saving model state at iteration %d",
                      self.iteration)
-            self.do_on_stop()
-            try:
-                self.save_checkpoint()
-            except Exception:
-                pass
-        return stop and cfg.use_validation_stop
+            self.do_on_stop(next_iteration=self.iteration + 1)
+            if not getattr(self.cfg, "checkpoint_freq", 0.0):
+                try:
+                    self.save_checkpoint(self.iteration + 1)
+                except Exception:
+                    pass
 
     def log_communities(self) -> None:
         cfg = self.cfg
@@ -407,7 +463,7 @@ class EngineBase:
             self._ce_cache = (self._eval_pairs(e), self._eval_pairs(m))
         return self._ce_cache
 
-    def do_on_stop(self) -> None:
+    def do_on_stop(self, next_iteration: "int | None" = None) -> None:
         self.log_communities()
         gamma, lam = self._host_gamma_lam()
         save_model(self.cfg.outdir, gamma, lam, self.network.seq2id)
@@ -422,7 +478,9 @@ class EngineBase:
             f.write("\t".join(str(int(c)) for c in counts) + "\n")
         if getattr(self.cfg, "checkpoint_freq", 0.0):
             # runs with native checkpointing on always end with a final
-            # checkpoint, so short runs (< checkpoint_freq) resume too
-            self.save_checkpoint()
+            # checkpoint, so short runs (< checkpoint_freq) resume too;
+            # callers at a completed report boundary pass iteration+1
+            # (checkpoints store the next iteration to run)
+            self.save_checkpoint(next_iteration)
         self.log("stopped at iteration %d (%d s)", self.iteration,
                  self.duration())

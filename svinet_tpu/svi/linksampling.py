@@ -202,6 +202,11 @@ class LinkSampling(EngineBase):
     output, stopping, and community logging live in EngineBase."""
 
     writes_own_timefile = True   # per-chunk rows in _infer_loop
+    # the annealing decision runs AFTER super().report(); defer the
+    # periodic-checkpoint/SIGTERM hooks to the end of OUR report() so a
+    # checkpoint never snapshots a mid-report state (stopper updated,
+    # annealing history not yet)
+    defer_report_hooks = True
 
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):
@@ -300,7 +305,7 @@ class LinkSampling(EngineBase):
                     self._mesh_sweep = make_rowsharded_fused_multi_sweep(
                         mesh, per_shard // block)
                     self.mphi = global_put(
-                        jnp.zeros((n, k), jnp.float32), row)
+                        np.zeros((n, k), np.float32), row)
                 else:
                     self._mesh_sweep = make_rowsharded_multi_sweep(
                         mesh, per_shard // block)
@@ -315,7 +320,7 @@ class LinkSampling(EngineBase):
                     self._mesh_sweep = make_sharded_fused_multi_sweep(
                         mesh, per_shard // block)
                     self.mphi, = device_put_replicated(
-                        mesh, jnp.zeros((n, k), jnp.float32))
+                        mesh, np.zeros((n, k), np.float32))
                 else:
                     self._mesh_sweep = make_sharded_multi_sweep(
                         mesh, per_shard // block)
@@ -354,7 +359,8 @@ class LinkSampling(EngineBase):
                 self._test_sets.append(
                     (name, self._eval_pairs(pairs),
                      self._eval_pairs(ys.astype(np.int32)),
-                     ReportFile(cfg.file_str(f"{name}-hol.txt"))))
+                     ReportFile(cfg.file_str(f"{name}-hol.txt"),
+                                append=bool(cfg.resume))))
 
         if cfg.resume and self.try_restore():
             print(f"+ resumed from checkpoint at iteration {self.iteration}")
@@ -475,7 +481,8 @@ class LinkSampling(EngineBase):
                          f" ({'plateau' if genuine_plateau else 'no-improve'})")
             else:
                 self.stopper.nh = 0
-            return False
+            stop = False
+        self._end_of_report()
         return stop
 
     def _anneal_plateau(self) -> bool:
@@ -502,8 +509,18 @@ class LinkSampling(EngineBase):
         freeze nodes; here it is reporting only — the dense sweep is
         faster on TPU than the branchy fast path."""
         if not hasattr(self, "_convf"):
-            self._convf = open(self.cfg.file_str("convergence.txt"), "w")
+            app = bool(self.cfg.resume)
+            self._convf = open(self.cfg.file_str("convergence.txt"),
+                               "a" if app else "w")
             self._first_conv = np.zeros(self.n, np.int64)
+            hosts = self.cfg.file_str("convergence_hosts.txt")
+            import os
+            if app and os.path.exists(hosts):
+                # resume keeps the per-node first-converged times
+                for line in open(hosts):
+                    parts = line.split()
+                    if len(parts) == 3:
+                        self._first_conv[int(parts[0])] = int(parts[2])
         # the count reduction runs on device so only (n,) int32 crosses
         # the host link — at the n=1M/k=500 stretch a host gather of
         # gamma is 2 GB per report. Multi-process: the jit consumes the
@@ -547,8 +564,8 @@ class LinkSampling(EngineBase):
         with open(self.cfg.file_str("auc-all.txt"), "a") as f:
             f.write(f"{auc_fn(scores, np.asarray(ys)):.5f}\n")
 
-    def do_on_stop(self) -> None:
-        super().do_on_stop()
+    def do_on_stop(self, next_iteration=None) -> None:
+        super().do_on_stop(next_iteration=next_iteration)
         self.write_auc()
 
     # ------------------------------------------------------------------
@@ -599,7 +616,9 @@ class LinkSampling(EngineBase):
             self.iteration = j
             if j % r == 0:
                 if self.report():
-                    self.do_on_stop()
+                    # sweep j and its report are complete: the final
+                    # checkpoint stores j+1 (next iteration to run)
+                    self.do_on_stop(next_iteration=j + 1)
                     return
             self.iteration = j + 1
             if max_seconds is not None and time.time() - self._start > max_seconds:

@@ -323,3 +323,42 @@ def test_init_gamma_device_matches_host_stats(tmp_path, assort_path):
     np.add.at(deg, net.edges[:, 1], 1)
     np.testing.assert_allclose(g_dev.sum(1), deg, rtol=1e-4)
     np.testing.assert_allclose(g_host.sum(1), deg, rtol=1e-6)
+
+
+def test_resume_from_periodic_checkpoint(tmp_path, assort_path,
+                                         monkeypatch):
+    """Periodic checkpoints store the NEXT iteration to run: resuming
+    from one must not repeat the boundary sweep, duplicate report rows,
+    or double-feed the stopper (round-3 review finding — the repro was
+    a duplicate iteration row + an extra sweep after resume). Simulates
+    a crash after the report-10 periodic save by pointing `latest` at
+    it, then checks the resumed run equals the uninterrupted one."""
+    monkeypatch.chdir(tmp_path)
+    from svinet_tpu.cli import main
+    base = ["-file", assort_path, "-n", "75", "-k", "4",
+            "-link-sampling", "-seed", "1", "-no-stop", "-rfreq", "5",
+            "-checkpoint-freq", "0.000001"]
+    rc = main([*base, "-label", "pr", "-max-iterations", "12"])
+    assert rc == 0
+    d = tmp_path / "n75-k4-pr-seed1-linksampling"
+    # periodic saves at reports 0/5/10 stored steps 1/6/11; the final
+    # do_on_stop save stored 13. Simulate a crash right after the
+    # report-10 periodic save:
+    (d / "ckpt" / "latest").write_text("11")
+    rc = main([*base, "-label", "pr", "-max-iterations", "20",
+               "-resume"])
+    assert rc == 0
+    iters = [int(l.split()[0]) for l in open(d / "validation.txt")]
+    assert iters == sorted(set(iters)), f"duplicate report rows: {iters}"
+    assert iters == [0, 5, 10, 15, 20]
+
+    rc = main([*base, "-label", "un", "-max-iterations", "20"])
+    assert rc == 0
+    import numpy as np
+
+    def load(label):
+        dd = tmp_path / f"n75-k4-{label}-seed1-linksampling"
+        rows = [l.split() for l in open(dd / "gamma.txt") if l.strip()]
+        return np.array([[float(v) for v in r[2:]] for r in rows])
+    np.testing.assert_allclose(load("pr"), load("un"), rtol=1e-4,
+                               atol=1e-4)

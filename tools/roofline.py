@@ -47,7 +47,10 @@ def main(n: int = 1_000_000, k: int = 500, n_edges: int = 20_000_000):
     block = choose_edge_block(n_edges, k)
     edges_p, mask = pad_edges(edges, block)
     nb = edges_p.shape[0] // block
-    gamma = jnp.asarray(rng.gamma(1.0, 1.0, (n, k)), jnp.float32)
+    # device-side init: Gamma(1,1) == Exponential(1); a host-generated
+    # 2 GB gamma upload through the axon tunnel takes minutes
+    gamma = jax.jit(lambda key: jax.random.exponential(
+        key, (n, k), jnp.float32))(jax.random.PRNGKey(0))
     lam = jnp.asarray(np.tile([1.0, 1.0], (k, 1)), jnp.float32)
     consts = LSConsts(alpha=jnp.float32(1.0 / k),
                       eta=jnp.asarray([1.0, 1.0], jnp.float32),
