@@ -153,6 +153,34 @@ def main() -> None:
     n_train = len(net.training_links)
     eps = n_iters * n_train / dt
 
+    # -fuse-s3 variant of the same headline config (README Roofline) —
+    # recorded alongside, NOT as the headline: the headline stays the
+    # default reference-semantics path
+    from svinet_tpu.svi.linksampling import linksampling_fused_multi_sweep
+    try:
+        gf = jnp.asarray(
+            init_gamma_from_links(np.random.default_rng(0), net.edges,
+                                  n, k, cfg.alpha), jnp.float32)
+        lf = jnp.asarray(np.tile([cfg.eta0, cfg.eta1], (k, 1)),
+                         jnp.float32)
+        mf = jnp.zeros((n, k), jnp.float32)
+        state = linksampling_fused_multi_sweep(
+            gf, lf, mf, edges_d, mask_d, deg_d, consts, ann,
+            num_blocks, rfreq)
+        float(state[0][0, 0])
+        t0 = time.perf_counter()
+        for _ in range(n_dispatch):
+            state = linksampling_fused_multi_sweep(
+                *state, edges_d, mask_d, deg_d, consts, ann,
+                num_blocks, rfreq)
+        float(state[0][0, 0])
+        eps_fused = n_iters * n_train / (time.perf_counter() - t0)
+        fused_rec = {"value": round(eps_fused, 1),
+                     "vs_baseline": round(
+                         eps_fused / BASELINE_EDGES_PER_SEC, 3)}
+    except Exception as e:
+        fused_rec = {"error": repr(e)}
+
     # stretch metric (BASELINE.json n=1M/k=500) in the same record, so
     # every round's BENCH captures both numbers (VERDICT r1 #8). The
     # combined record stays ONE JSON line with the contract keys.
@@ -170,6 +198,7 @@ def main() -> None:
         "value": round(eps, 1),
         "unit": "edges/sec",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 3),
+        "fused_s3": fused_rec,
         "stretch": stretch,
         "stretch_fused_s3": stretch_fused,
         # completed END-TO-END n=1M/k=500 inference run (STRETCH.md;
