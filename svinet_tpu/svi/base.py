@@ -30,6 +30,14 @@ class EngineBase:
     """Owns output files, heldout splits, the stopping controller, and the
     community/NMI logging. Subclasses own gamma/lam device state and steps."""
 
+    # Checkpoints store the NEXT iteration to run. At a report boundary the
+    # minibatch engines (MMSB/FastAMM/FastAMM2/SBM/...) have already
+    # incremented: their loops resume stepping FROM self.iteration, so the
+    # boundary checkpoint stores iteration + 0. LinkSampling's loop sits at
+    # the just-completed sweep j at its boundary (next = j + 1) and
+    # overrides this to 1.
+    ckpt_boundary_offset = 0
+
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):
         self.cfg = cfg
@@ -153,7 +161,13 @@ class EngineBase:
 
     # ------------------------------------------------------------------
     def duration(self) -> int:
-        return int(time.time() - self._start)
+        """Seconds of training time, CUMULATIVE across resumes: checkpoints
+        store the accumulated offset so duration-stamped traces
+        (convergence_hosts.txt first-converged times, time.txt, the
+        report duration column) stay on one monotonic clock across a
+        resume boundary."""
+        return int(time.time() - self._start) + getattr(
+            self, "_dur_offset", 0)
 
     def log(self, fmt: str, *args) -> None:
         """Timestamped line into <outdir>/infer.log
@@ -209,27 +223,22 @@ class EngineBase:
         return host_read(self.gamma), host_read(self.lam)
 
     # ------------------------------------------------------------------
-    def _state_dict(self):
-        """State captured by native checkpoints; subclasses extend. The
-        stopping controller's history IS state: without it a resumed run
-        restarts the plateau/drawdown tracking from scratch and the
-        annealing exit (or the stop itself) fires at a different
-        iteration than the uninterrupted run's."""
+    def _host_state(self):
+        """Host-side scalars every engine checkpoints. The stopping
+        controller's history IS state: without it a resumed run restarts
+        the plateau/drawdown tracking from scratch and the annealing exit
+        (or the stop itself) fires at a different iteration than the
+        uninterrupted run's."""
         s = self.stopper
-        return {"gamma": self.gamma, "lam": self.lam,
-                "iteration": self.iteration,
+        return {"iteration": self.iteration,
+                "dur_offset": self.duration(),
                 "stopper": [s.prev_h, s.max_h, s.max_t, float(s.nh),
                             float(s.why), float(s.since_max)]}
 
-    def _restore_state(self, state) -> None:
-        import jax
-        # already-sharded jax.Arrays (restored onto their mesh layout by
-        # io/checkpoint.py) pass through untouched
-        self.gamma = (state["gamma"] if isinstance(state["gamma"], jax.Array)
-                      else jnp.asarray(state["gamma"]))
-        self.lam = (state["lam"] if isinstance(state["lam"], jax.Array)
-                    else jnp.asarray(state["lam"]))
+    def _restore_host_state(self, state) -> None:
         self.iteration = int(state["iteration"])
+        self._dur_offset = int(state.get("dur_offset", 0))
+        self._start = time.time()
         st = state.get("stopper")
         if st is not None:
             s = self.stopper
@@ -237,6 +246,33 @@ class EngineBase:
                                             float(st[2]))
             s.nh, s.why, s.since_max = (int(st[3]), int(st[4]),
                                         int(st[5]))
+
+    @staticmethod
+    def _as_device(v):
+        """Restored array -> device array; already-sharded jax.Arrays
+        (restored onto their mesh layout by io/checkpoint.py) pass
+        through untouched."""
+        import jax
+        return v if isinstance(v, jax.Array) else jnp.asarray(v)
+
+    def _state_dict(self):
+        """State captured by native checkpoints; engines whose model
+        state is not (gamma, lam) override."""
+        d = self._host_state()
+        d.update(gamma=self.gamma, lam=self.lam)
+        return d
+
+    def _restore_state(self, state) -> None:
+        self.gamma = self._as_device(state["gamma"])
+        self.lam = self._as_device(state["lam"])
+        self._restore_host_state(state)
+
+    def _resume_if_requested(self) -> None:
+        """Engines call this at the end of __init__ (device state built):
+        -resume restores the newest native checkpoint in the outdir."""
+        if getattr(self.cfg, "resume", False) and self.try_restore():
+            print(f"+ resumed from checkpoint at iteration "
+                  f"{self.iteration}")
 
     def _ckpt_shardings(self):
         """{array name: jax Sharding} for restoring state straight into
@@ -310,7 +346,7 @@ class EngineBase:
             self.terminate_requested = bool(
                 flags.reshape(-1, 2)[:, 1].any())
         if due:
-            self.save_checkpoint(self.iteration + 1)
+            self.save_checkpoint(self.iteration + self.ckpt_boundary_offset)
 
     def _heldout(self, pairs, y) -> "HeldoutResult":
         """Heldout likelihood over a pair set; engines with a non-dense
@@ -412,10 +448,11 @@ class EngineBase:
             self.terminate_requested = False
             self.log("SIGTERM: saving model state at iteration %d",
                      self.iteration)
-            self.do_on_stop(next_iteration=self.iteration + 1)
+            nxt = self.iteration + self.ckpt_boundary_offset
+            self.do_on_stop(next_iteration=nxt)
             if not getattr(self.cfg, "checkpoint_freq", 0.0):
                 try:
-                    self.save_checkpoint(self.iteration + 1)
+                    self.save_checkpoint(nxt)
                 except Exception:
                     pass
 

@@ -173,6 +173,7 @@ class FastAMM(EngineBase):
         max_deg = int(network.training_deg.max()) if n else 0
         self._pad = 1 << int(np.ceil(np.log2(
             max(max_deg + 100 + 1, NONINF_SETSIZE, 64))))
+        self._resume_if_requested()
 
     # ------------------------------------------------------------------
     def report(self) -> bool:
@@ -377,26 +378,28 @@ class FastAMM(EngineBase):
     def _state_dict(self):
         if not self._W:
             return super()._state_dict()
-        return {"ids": self.ids, "vals": self.vals, "rest": self.rest,
-                "lam": self.lam, "iteration": self.iteration}
+        d = self._host_state()
+        d.update(ids=self.ids, vals=self.vals, rest=self.rest,
+                 lam=self.lam)
+        return d
 
     def _restore_state(self, state) -> None:
         if not self._W:
             return super()._restore_state(state)
-        self.ids = jnp.asarray(state["ids"])
-        self.vals = jnp.asarray(state["vals"])
-        self.rest = jnp.asarray(state["rest"])
-        self.lam = jnp.asarray(state["lam"])
-        self.iteration = int(state["iteration"])
+        self.ids = self._as_device(state["ids"])
+        self.vals = self._as_device(state["vals"])
+        self.rest = self._as_device(state["rest"])
+        self.lam = self._as_device(state["lam"])
+        self._restore_host_state(state)
 
-    def do_on_stop(self) -> None:
+    def do_on_stop(self, next_iteration=None) -> None:
         if not self._W:
-            return super().do_on_stop()
+            return super().do_on_stop(next_iteration=next_iteration)
         # densify for the TSV interop surface (gamma.txt is (n,K) text by
         # schema regardless of the in-memory representation)
         from svinet_tpu.ops.sparse_gamma import densify
         self.gamma = densify(self.ids, self.vals, self.rest, self.k)
-        super().do_on_stop()
+        super().do_on_stop(next_iteration=next_iteration)
         self.gamma = None
 
     def _step_many(self, count: int) -> None:

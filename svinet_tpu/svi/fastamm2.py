@@ -109,6 +109,14 @@ class FastAMM2(EngineBase):
             write_edgelist(cfg.file_str("precision-pairs.txt"),
                            network.precision_pairs, network.precision_y,
                            network.seq2id)
+        self._resume_if_requested()
+
+    def _restore_state(self, state) -> None:
+        super()._restore_state(state)
+        if self._mesh is not None:
+            from svinet_tpu.parallel.mesh import device_put_replicated
+            self.gamma, self.lam = device_put_replicated(
+                self._mesh, self.gamma, self.lam)
 
     def _edge_ok(self, lo, hi) -> np.ndarray:
         return self.network.edge_ok_mask(lo, hi)

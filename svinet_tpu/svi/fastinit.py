@@ -170,11 +170,26 @@ class FastInit(EngineBase):
         self.mask = jnp.asarray(m)
         self.ids = None
         self.cnt = None
+        self._resume_if_requested()
+
+    def _state_dict(self):
+        d = self._host_state()
+        d["labels"] = self.labels
+        if self.ids is not None:
+            d.update(ids=self.ids, cnt=self.cnt)
+        return d
+
+    def _restore_state(self, state) -> None:
+        self.labels = self._as_device(state["labels"])
+        if "ids" in state:
+            self.ids = self._as_device(state["ids"])
+            self.cnt = self._as_device(state["cnt"])
+        self._restore_host_state(state)
 
     def batch_infer(self) -> None:
         cfg = self.cfg
         sweeps = int(math.log10(max(self.n, 10))) + 1
-        for _ in range(sweeps):
+        for _ in range(self.iteration, sweeps):
             self.ids, self.cnt = vote_topk(self.labels, self.edges,
                                            self.mask, self.n, self.width)
             # top-1 becomes the node's label; isolated nodes keep theirs
@@ -214,6 +229,7 @@ class FastInit(EngineBase):
                   nshol, self.stopper.max_t, self.stopper.max_h,
                   self.stopper.why)
         self.log_communities()
+        self._end_of_report()   # SIGTERM save-and-continue + periodic ckpt
         return stop and cfg.use_validation_stop
 
     def log_communities(self) -> None:
@@ -250,10 +266,12 @@ class FastInit(EngineBase):
                 f"mutual3:\t{overlapping_nmi(gt, ours):g}\n")
             self._mutual.flush()
 
-    def do_on_stop(self) -> None:
+    def do_on_stop(self, next_iteration=None) -> None:
         self.log_communities()
         # groups.txt: node -> current label (sparse model has no dense gamma)
         with open(self.cfg.file_str("groups.txt"), "w") as f:
             lab = np.asarray(self.labels)
             for i in range(self.n):
                 f.write(f"{i}\t{int(self.network.seq2id[i])}\t{int(lab[i])}\n")
+        if getattr(self.cfg, "checkpoint_freq", 0.0):
+            self.save_checkpoint(next_iteration)

@@ -207,6 +207,10 @@ class LinkSampling(EngineBase):
     # checkpoint never snapshots a mid-report state (stopper updated,
     # annealing history not yet)
     defer_report_hooks = True
+    # at a report boundary self.iteration == just-completed sweep j
+    # (_infer_loop advances to j+1 only after report()), so boundary
+    # checkpoints store j+1 — unlike the pre-incrementing minibatch loops
+    ckpt_boundary_offset = 1
 
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):
@@ -313,6 +317,8 @@ class LinkSampling(EngineBase):
                 self.deg = global_put(self.deg, row)
                 self.lam, = device_put_replicated(mesh, self.lam)
                 self._mesh_shardings = {"gamma": row, "lam": repl}
+                if cfg.fuse_s3:
+                    self._mesh_shardings["mphi"] = row
             else:
                 from svinet_tpu.parallel.mesh import (
                     make_sharded_fused_multi_sweep)
@@ -327,6 +333,8 @@ class LinkSampling(EngineBase):
                 self.gamma, self.lam, self.deg = device_put_replicated(
                     mesh, self.gamma, self.lam, self.deg)
                 self._mesh_shardings = {"gamma": repl, "lam": repl}
+                if cfg.fuse_s3:
+                    self._mesh_shardings["mphi"] = repl
             self.consts = LSConsts(*device_put_replicated(
                 mesh, *self.consts))
             del self._ce_cache      # communities rebuild a local pad
@@ -370,13 +378,23 @@ class LinkSampling(EngineBase):
         d["annealing"] = bool(self.annealing)
         d["anneal_hist"] = [float(x) for x in
                             getattr(self, "_anneal_hist", [])]
+        if self.cfg.fuse_s3:
+            # the carried s3 state: without it a resumed fused run re-runs
+            # one transient sweep with s3=0 and resume != uninterrupted
+            m = getattr(self, "mphi", None)
+            d["mphi"] = (m if m is not None
+                         else jnp.zeros((self.n, self.k), jnp.float32))
         return d
 
     def _restore_state(self, state) -> None:
+        import jax
         super()._restore_state(state)
         self.annealing = bool(state.get("annealing", False))
         self._anneal_hist = [float(x) for x in
                              state.get("anneal_hist", [])]
+        m = state.get("mphi")
+        if m is not None:
+            self.mphi = (m if isinstance(m, jax.Array) else jnp.asarray(m))
 
     def _ckpt_shardings(self):
         """Under -mesh, restore gamma/lam straight onto the mesh layout

@@ -287,6 +287,16 @@ class MMSBInfer(EngineBase):
         self._lf = open(cfg.file_str("logl.txt"), "w") if cfg.logl else None
         self._mf = open(cfg.file_str("modularity.txt"), "w")
         self._elbo_cache = None
+        self._resume_if_requested()
+
+    def _restore_state(self, state) -> None:
+        super()._restore_state(state)
+        if self._mesh is not None:
+            # restored arrays must go back to the mesh-replicated layout
+            # the sharded step fns expect
+            from svinet_tpu.parallel.mesh import device_put_replicated
+            self.gamma, self.lam = device_put_replicated(
+                self._mesh, self.gamma, self.lam)
 
     # ------------------------------------------------------------------
     def _y_of(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:

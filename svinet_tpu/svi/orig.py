@@ -156,6 +156,17 @@ class MMSBOrig(EngineBase):
         self.y = jnp.asarray(yy)
         self.w = jnp.asarray(mask)
         self.nb = len(pp) // self._block
+        self._resume_if_requested()
+
+    def _state_dict(self):
+        d = self._host_state()
+        d.update(gamma=self.gamma, beta=self.beta)
+        return d
+
+    def _restore_state(self, state) -> None:
+        self.gamma = self._as_device(state["gamma"])
+        self.beta = self._as_device(state["beta"])
+        self._restore_host_state(state)
 
     def report(self) -> bool:
         cfg = self.cfg
@@ -178,6 +189,7 @@ class MMSBOrig(EngineBase):
         write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
                   nshol, self.stopper.max_t, self.stopper.max_h,
                   self.stopper.why)
+        self._end_of_report()   # SIGTERM save-and-continue + periodic ckpt
         return stop and cfg.use_validation_stop
 
     def batch_infer(self) -> None:
@@ -197,7 +209,7 @@ class MMSBOrig(EngineBase):
                     self.do_on_stop()
                     return
 
-    def do_on_stop(self) -> None:
+    def do_on_stop(self, next_iteration=None) -> None:
         cfg = self.cfg
         gamma = np.asarray(self.gamma)
         beta = np.asarray(self.beta)
@@ -209,3 +221,5 @@ class MMSBOrig(EngineBase):
             for g in range(self.k):
                 f.write("\t".join(f"{v:.5f}" for v in beta[g]) + "\n")
         write_groups(cfg.file_str("groups.txt"), gamma, self.network.seq2id)
+        if getattr(cfg, "checkpoint_freq", 0.0):
+            self.save_checkpoint(next_iteration)

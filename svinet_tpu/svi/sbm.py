@@ -237,6 +237,18 @@ class SBM(EngineBase):
         self.held_pairs = jnp.asarray(hp)
         self.held_mask = jnp.asarray(hm)
         self.n_valid_pairs = jnp.float32(network.total_pairs - len(held))
+        self._resume_if_requested()
+
+    def _state_dict(self):
+        d = self._host_state()
+        d.update(phi=self.phi, gamma_k=self.gamma_k, lam=self.lam)
+        return d
+
+    def _restore_state(self, state) -> None:
+        self.phi = self._as_device(state["phi"])
+        self.gamma_k = self._as_device(state["gamma_k"])
+        self.lam = self._as_device(state["lam"])
+        self._restore_host_state(state)
 
     def _label_prop_phi_init(self) -> np.ndarray:
         """phi init from log10(n)+2 label-propagation sweeps: the largest
@@ -283,6 +295,7 @@ class SBM(EngineBase):
         write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
                   nshol, self.stopper.max_t, self.stopper.max_h,
                   self.stopper.why)
+        self._end_of_report()   # SIGTERM save-and-continue + periodic ckpt
         return stop and cfg.use_validation_stop
 
     def batch_infer(self) -> None:
@@ -385,7 +398,7 @@ class SBM(EngineBase):
                     self.do_on_stop()
                     return
 
-    def do_on_stop(self) -> None:
+    def do_on_stop(self, next_iteration=None) -> None:
         cfg = self.cfg
         phi = np.asarray(self.phi)
         lam = np.asarray(self.lam)
@@ -410,3 +423,5 @@ class SBM(EngineBase):
         from svinet_tpu.io.writers import write_communities
         write_communities(cfg.file_str("communities.txt"), comms,
                           self.network.seq2id)
+        if getattr(cfg, "checkpoint_freq", 0.0):
+            self.save_checkpoint(next_iteration)

@@ -362,3 +362,120 @@ def test_resume_from_periodic_checkpoint(tmp_path, assort_path,
         return np.array([[float(v) for v in r[2:]] for r in rows])
     np.testing.assert_allclose(load("pr"), load("un"), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_fused_s3_resume_matches_uninterrupted(tmp_path, assort_path,
+                                               monkeypatch):
+    """-fuse-s3 carries mphi between sweeps; it is checkpointed (round-3
+    advisor finding), so resume == uninterrupted for the fused path too."""
+    monkeypatch.chdir(tmp_path)
+    from svinet_tpu.cli import main
+    base = ["-file", assort_path, "-n", "75", "-k", "4",
+            "-link-sampling", "-fuse-s3", "-seed", "1", "-no-stop",
+            "-rfreq", "5", "-checkpoint-freq", "0.000001"]
+    rc = main([*base, "-label", "fpr", "-max-iterations", "12"])
+    assert rc == 0
+    d = tmp_path / "n75-k4-fpr-seed1-linksampling"
+    (d / "ckpt" / "latest").write_text("11")
+    rc = main([*base, "-label", "fpr", "-max-iterations", "20", "-resume"])
+    assert rc == 0
+    rc = main([*base, "-label", "fun", "-max-iterations", "20"])
+    assert rc == 0
+
+    def load(label):
+        dd = tmp_path / f"n75-k4-{label}-seed1-linksampling"
+        rows = [l.split() for l in open(dd / "gamma.txt") if l.strip()]
+        return np.array([[float(v) for v in r[2:]] for r in rows])
+    np.testing.assert_allclose(load("fpr"), load("fun"), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_minibatch_periodic_checkpoint_stores_current_iteration(
+        tmp_path, assort_path):
+    """The minibatch loops increment BEFORE report(), so their boundary
+    checkpoints must store self.iteration (not +1, which skips one
+    minibatch on resume — round-3 advisor finding)."""
+    eng, cfg, net = _make_engine(tmp_path, assort_path, randomnode=True,
+                                 max_iterations=3,
+                                 use_validation_stop=False, reportfreq=3,
+                                 checkpoint_freq=1e-6)
+    eng.infer()
+    from svinet_tpu.io.checkpoint import _steps_on_disk
+    import os
+    steps = _steps_on_disk(os.path.join(cfg.outdir, "ckpt"))
+    assert 3 in steps, steps   # boundary save stored 3, not 4
+
+
+def test_sigterm_save_and_continue_every_engine(tmp_path, assort_path):
+    """A SIGTERM at a report boundary must save-and-continue in EVERY
+    engine (reference: src/main.cc:29-46 + per-engine polls). Round-3
+    advisor high finding: four overrides raised TypeError; SBM/Orig/
+    FastInit additionally never ran the hook at all."""
+    import os
+    from svinet_tpu.svi.sbm import SBM
+    from svinet_tpu.svi.orig import MMSBOrig
+    from svinet_tpu.svi.fastinit import FastInit
+    from svinet_tpu.svi.fastamm import FastAMM
+
+    def run(name, cls, method, **kw):
+        cfg = Config(n=75, heldout_ratio=0.1, seed=3,
+                     outdir=str(tmp_path / name), max_iterations=4,
+                     use_validation_stop=False, reportfreq=2, **kw)
+        cfg.resolve()
+        net = Network(cfg)
+        net.read(assort_path)
+        eng = cls(cfg, net)
+        eng.terminate_requested = True      # SIGTERM before 1st report
+        getattr(eng, method)()              # must not raise
+        assert os.path.exists(cfg.file_str("gamma.txt")) or \
+            os.path.exists(cfg.file_str("groups.txt"))
+        return eng
+
+    run("sbm", SBM, "batch_infer", k=4, single=True)
+    run("orig", MMSBOrig, "batch_infer", k=4, orig=True)
+    run("fk", FastInit, "batch_infer", k=75, findk=True)
+    run("fa", FastAMM, "infer", k=4, informative_sampling=True)
+    run("fas", FastAMM, "infer", k=16, informative_sampling=True,
+        fastqueue_width=8)
+
+
+def test_engine_checkpoint_resume_roundtrip(tmp_path, assort_path):
+    """Native checkpoint/resume now covers every engine, not just
+    LinkSampling: state round-trips bitwise through save/restore."""
+    from svinet_tpu.svi.sbm import SBM
+    from svinet_tpu.svi.orig import MMSBOrig
+    from svinet_tpu.svi.fastinit import FastInit
+    from svinet_tpu.svi.mmsb import MMSBInfer
+
+    cases = [
+        ("sbm", SBM, "batch_infer", dict(k=4, single=True),
+         lambda e: np.asarray(e.phi)),
+        ("orig", MMSBOrig, "batch_infer", dict(k=4, orig=True),
+         lambda e: np.asarray(e.gamma)),
+        ("fk", FastInit, "batch_infer", dict(k=75, findk=True),
+         lambda e: np.asarray(e.labels)),
+        ("mm", MMSBInfer, "infer", dict(k=4, randomnode=True),
+         lambda e: np.asarray(e.gamma)),
+    ]
+    for name, cls, method, kw, get in cases:
+        cfg = Config(n=75, heldout_ratio=0.1, seed=3,
+                     outdir=str(tmp_path / name), max_iterations=4,
+                     use_validation_stop=False, reportfreq=2,
+                     checkpoint_freq=1e-6, **kw)
+        cfg.resolve()
+        net = Network(cfg)
+        net.read(assort_path)
+        eng = cls(cfg, net)
+        getattr(eng, method)()
+        want, it = get(eng), eng.iteration
+
+        cfg2 = Config(n=75, heldout_ratio=0.1, seed=3,
+                      outdir=str(tmp_path / name), resume=True,
+                      max_iterations=4, use_validation_stop=False,
+                      reportfreq=2, checkpoint_freq=1e-6, **kw)
+        cfg2.resolve()
+        net2 = Network(cfg2)
+        net2.read(assort_path)
+        eng2 = cls(cfg2, net2)
+        assert eng2.iteration > 0, name
+        np.testing.assert_array_equal(get(eng2), want, err_msg=name)
