@@ -54,6 +54,9 @@ svinet [OPTIONS]
 \t-dist-procid <I>\tthis host's process index
 \t-freeze\t\tfreeze converged nodes (consolidates overshot K)
 \t-fuse-s3\tfold the s3 cross-moment into the phi pass (1-sweep lag)
+\t-bf16\tstore gathered sweep rows in bfloat16 (f32 accumulation)
+\t-no-prune\tdisable active-K column compaction after annealing
+\t-prune-frac F\tcompact when padded active width <= F*K (default 0.5)
 \t-fastqueue <W>\tsparse top-W gamma for -infset at huge K
 \t-findk-width <W>\toverride -findk's sparse label slots per node
 \t-anneal-drawdown <d>\tannealing-exit drawdown threshold (default 0.08)
@@ -119,6 +122,12 @@ def parse_args(argv: List[str]) -> Config:
             cfg.freeze_converged = True
         elif a == "-fuse-s3":
             cfg.fuse_s3 = True
+        elif a == "-bf16":
+            cfg.bf16_rows = True
+        elif a == "-no-prune":
+            cfg.prune = False
+        elif a == "-prune-frac":
+            cfg.prune_frac = float(nxt())
         elif a == "-anneal-drawdown":
             cfg.anneal_drawdown = float(nxt())
         elif a == "-anneal-plateau-rate":

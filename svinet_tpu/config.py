@@ -130,6 +130,19 @@ class Config:
                                     # packed (n,2K) array, lagging s3 by
                                     # one sweep (README §Roofline; ~10%
                                     # faster at the K=500 stretch shape)
+    bf16_rows: bool = False         # -bf16: store the gathered Elogpi /
+                                    # packed rows in bfloat16 (half the
+                                    # gather bytes — the roofline's
+                                    # dominant term); accumulation and
+                                    # all state stay f32
+    prune: bool = True              # active-K column compaction after
+                                    # annealing (TPU form of the
+                                    # reference's active-k pruning,
+                                    # src/linksampling.cc:634-664);
+                                    # -no-prune disables
+    prune_frac: float = 0.5         # compact only when the padded active
+                                    # width is <= this fraction of K
+                                    # (guarantees >= 2x narrower sweeps)
     # annealing-phase exit thresholds (LinkSampling.report; defaults were
     # tuned on assort/LFR/ca-AstroPh, sensitivity table in README §annealing)
     anneal_drawdown: float = 0.08   # relative nshol drop below best that

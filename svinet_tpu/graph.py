@@ -48,9 +48,16 @@ class Network:
         self.ground_truth: Optional[List[np.ndarray]] = None
         # -groups-file: per-seq-node group metadata string
         self.gt_groups: Dict[int, str] = {}
-        # heldout splits (canonical pairs + labels)
+        # heldout splits (canonical pairs + labels). The classic-SVI
+        # engines sample TWO disjoint sets (src/mmsbinfer.cc:206-328):
+        # heldout_pairs drives the stopping rule + heldout.txt, and
+        # validation_pairs is evaluated at each new max (max.txt col 6).
+        # LinkSampling uses a single split (validation_pairs only,
+        # src/linksampling.cc:170-179) and heldout_pairs stays empty.
         self.validation_pairs: np.ndarray = np.zeros((0, 2), np.int32)
         self.validation_y: np.ndarray = np.zeros(0, np.int8)
+        self.heldout_pairs: np.ndarray = np.zeros((0, 2), np.int32)
+        self.heldout_y: np.ndarray = np.zeros(0, np.int8)
         self.test_pairs: np.ndarray = np.zeros((0, 2), np.int32)
         self.test_y: np.ndarray = np.zeros(0, np.int8)
         self.precision_pairs: np.ndarray = np.zeros((0, 2), np.int32)
@@ -307,13 +314,22 @@ class Network:
                 f.write(" ".join(str(i) for i in ids) + " \n")
 
     # ------------------------------------------------------------------
-    def sample_heldout_sets(self, rng: np.random.Generator) -> None:
+    def sample_heldout_sets(self, rng: np.random.Generator,
+                            dual: bool = False) -> None:
         """Sample the validation (and optional precision) heldout sets
         (reference: LinkSampling::init_validation, src/linksampling.cc:164-188;
         set_validation_sample, src/linksampling.cc:283-309).
 
         s1 = heldout_ratio * ones; the validation set holds s1/2 links and
         s1/2 nonlinks.
+
+        dual (classic-SVI engines, reference set_heldout_sample +
+        set_validation_sample, src/mmsbinfer.cc:245-328): a SECOND
+        disjoint split of the same size goes into heldout_pairs — it
+        drives the stopping rule, while validation_pairs is only
+        evaluated at new maxima. Both are excluded from training
+        (src/mmsbinfer.cc:858-863). Deterministic mode keeps the single
+        split (the reproducible test path).
         """
         cfg = self.cfg
         s1 = int(cfg.heldout_ratio * self.ones)
@@ -342,6 +358,12 @@ class Network:
             self.assign_training_links()
             return
         self.validation_pairs, self.validation_y = self._sample_split(rng, half, half)
+        if dual:
+            vkeys = _pair_key(
+                self.validation_pairs[:, 0].astype(np.int64),
+                self.validation_pairs[:, 1].astype(np.int64), self.n)
+            self.heldout_pairs, self.heldout_y = self._sample_split(
+                rng, half, half, exclude_keys=vkeys)
         if cfg.create_test_precision_sets:
             # precision split holds out s1 links (NOT s1/2; reference:
             # set_precision_uniform_sample, src/linksampling.cc:311-330)
@@ -351,12 +373,21 @@ class Network:
         self.assign_training_links()
 
     def _sample_split(self, rng: np.random.Generator, n_links: int,
-                      n_nonlinks: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Sample n_links random links + n_nonlinks random nonlink pairs."""
-        link_idx = rng.choice(self.ones, size=min(n_links, self.ones),
+                      n_nonlinks: int,
+                      exclude_keys: Optional[np.ndarray] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Sample n_links random links + n_nonlinks random nonlink pairs;
+        exclude_keys keeps a second split disjoint from the first."""
+        cand = np.arange(self.ones)
+        if exclude_keys is not None:
+            ek = _pair_key(self.edges[:, 0].astype(np.int64),
+                           self.edges[:, 1].astype(np.int64), self.n)
+            cand = cand[~np.isin(ek, exclude_keys)]
+        link_idx = rng.choice(cand, size=min(n_links, len(cand)),
                               replace=False)
         links = self.edges[np.sort(link_idx)]
-        nonlinks = self._sample_nonlinks(rng, n_nonlinks)
+        nonlinks = self._sample_nonlinks(rng, n_nonlinks,
+                                         exclude_keys=exclude_keys)
         pairs = np.concatenate([links, nonlinks], axis=0).astype(np.int32)
         ys = np.concatenate([
             np.ones(len(links), np.int8), np.zeros(len(nonlinks), np.int8)])
@@ -415,7 +446,8 @@ class Network:
         """Materialize training links = all links minus heldout link pairs
         (reference: LinkSampling::assign_training_links,
         src/linksampling.cc:493-523)."""
-        held = [self.validation_pairs, self.test_pairs, self.precision_pairs]
+        held = [self.validation_pairs, self.heldout_pairs,
+                self.test_pairs, self.precision_pairs]
         held_keys = np.concatenate(
             [_pair_key(h[:, 0].astype(np.int64), h[:, 1].astype(np.int64), self.n)
              for h in held if len(h)] or [np.zeros(0, np.int64)])
@@ -547,7 +579,8 @@ class Network:
     def heldout_keys(self) -> np.ndarray:
         """Sorted int64 keys of every heldout pair (for edge_ok tests on device,
         reference: LinkSampling::edge_ok, src/linksampling.hh:294-326)."""
-        held = [self.validation_pairs, self.test_pairs, self.precision_pairs]
+        held = [self.validation_pairs, self.heldout_pairs,
+                self.test_pairs, self.precision_pairs]
         keys = np.concatenate(
             [_pair_key(h[:, 0].astype(np.int64), h[:, 1].astype(np.int64), self.n)
              for h in held if len(h)] or [np.zeros(0, np.int64)])

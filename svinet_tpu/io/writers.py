@@ -114,10 +114,18 @@ class ReportFile:
 
 
 def write_max(path: str, iteration: int, duration: int, a: float,
-              max_t: float, max_h: float, why: int) -> None:
+              max_t: float, max_h: float, why: int,
+              max_v: "float | None" = None) -> None:
+    """max.txt: 6 columns for LinkSampling (src/linksampling.cc:1030-1034)
+    or 7 with the validation-at-max column for the classic-SVI engines
+    (src/mmsbinfer.cc:2165-2169: iter, dur, a, max_t, max_h, max_v, why)."""
     with open(path, "w") as f:
-        f.write(f"{iteration}\t{duration}\t{a:.5f}\t{max_t:.5f}\t"
-                f"{max_h:.5f}\t{why}\n")
+        if max_v is None:
+            f.write(f"{iteration}\t{duration}\t{a:.5f}\t{max_t:.5f}\t"
+                    f"{max_h:.5f}\t{why}\n")
+        else:
+            f.write(f"{iteration}\t{duration}\t{a:.5f}\t{max_t:.5f}\t"
+                    f"{max_h:.5f}\t{max_v:.5f}\t{why}\n")
 
 
 def write_edgelist(path: str, pairs: np.ndarray, ys: np.ndarray,

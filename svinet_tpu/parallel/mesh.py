@@ -133,16 +133,18 @@ def make_sharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
 
 
 def make_sharded_fused_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
-                                   axis: str = "edges") -> Callable:
+                                   axis: str = "edges",
+                                   bf16: bool = False) -> Callable:
     """-fuse-s3 variant of make_sharded_multi_sweep: phi stats and the
     one-sweep-lagged s3 cross-moment in a single pass over the local
     edge shard via packed [Elogpi | mphi] rows (README Roofline; parity
     pinned by tests/test_parity.py::test_lfr_fused_s3). Carries the
-    replicated mphi between sweeps."""
+    replicated mphi between sweeps. bf16 stores the packed rows
+    half-width (-bf16); the edge pass casts back to f32 post-gather."""
     import jax.numpy as jnp
 
     @functools.lru_cache(maxsize=None)
-    def build(n_sweeps: int):
+    def build(n_sweeps: int, bf16_on: bool):
         def _local(gamma, lam, mphi, edges, mask, deg, consts, annealing):
             from svinet_tpu.ops.expectations import dirichlet_expectation
 
@@ -150,6 +152,8 @@ def make_sharded_fused_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
                 g, l, m = state
                 packed = jnp.concatenate(
                     [dirichlet_expectation(g), m], axis=1)
+                if bf16_on:
+                    packed = packed.astype(jnp.bfloat16)
                 elogbeta = dirichlet_expectation(l)
                 gacc, sumk, s3 = fused_phi_s3_pass(
                     packed, elogbeta[:, 0], edges, mask,
@@ -174,34 +178,40 @@ def make_sharded_fused_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
         return jax.jit(sharded, donate_argnums=(0, 1, 2))
 
     def call(gamma, lam, mphi, edges, mask, deg, consts, annealing,
-             n_sweeps: int):
-        return build(int(n_sweeps))(gamma, lam, mphi, edges, mask, deg,
-                                    consts, annealing)
+             n_sweeps: int, bf16_now: "bool | None" = None):
+        use = bf16 if bf16_now is None else bool(bf16_now)
+        return build(int(n_sweeps), use)(gamma, lam, mphi, edges, mask,
+                                         deg, consts, annealing)
 
     return call
 
 
 def make_rowsharded_fused_multi_sweep(mesh: Mesh,
                                       num_blocks_per_shard: int,
-                                      axis: str = "edges") -> Callable:
+                                      axis: str = "edges",
+                                      bf16: bool = False) -> Callable:
     """-fuse-s3 variant of make_rowsharded_multi_sweep: the local
     [Elogpi | mphi] rows are packed BEFORE the all_gather, so one
     (n/d, 2K) tiled all_gather replaces the two (n, K) gathers of the
     unfused path, and the edge pass computes phi stats and the lagged
-    s3 together. Carries the row-sharded mphi between sweeps."""
+    s3 together. Carries the row-sharded mphi between sweeps. bf16
+    (-bf16) casts BEFORE the all_gather — halving the collective bytes
+    as well as the row-gather bytes."""
     import jax.numpy as jnp
 
     @functools.lru_cache(maxsize=None)
-    def build(n_sweeps: int):
+    def build(n_sweeps: int, bf16_on: bool):
         def _local(gamma, lam, mphi_l, edges, mask, deg, consts,
                    annealing):
             from svinet_tpu.ops.expectations import dirichlet_expectation
 
             def body(_, state):
                 g, l, m_l = state
-                packed = jax.lax.all_gather(
-                    jnp.concatenate([dirichlet_expectation(g), m_l],
-                                    axis=1), axis, tiled=True)
+                local_rows = jnp.concatenate(
+                    [dirichlet_expectation(g), m_l], axis=1)
+                if bf16_on:
+                    local_rows = local_rows.astype(jnp.bfloat16)
+                packed = jax.lax.all_gather(local_rows, axis, tiled=True)
                 elogbeta = dirichlet_expectation(l)
                 gacc_full, sumk, s3_l = fused_phi_s3_pass(
                     packed, elogbeta[:, 0], edges, mask,
@@ -230,9 +240,10 @@ def make_rowsharded_fused_multi_sweep(mesh: Mesh,
         return jax.jit(sharded, donate_argnums=(0, 1, 2))
 
     def call(gamma, lam, mphi, edges, mask, deg, consts, annealing,
-             n_sweeps: int):
-        return build(int(n_sweeps))(gamma, lam, mphi, edges, mask, deg,
-                                    consts, annealing)
+             n_sweeps: int, bf16_now: "bool | None" = None):
+        use = bf16 if bf16_now is None else bool(bf16_now)
+        return build(int(n_sweeps), use)(gamma, lam, mphi, edges, mask,
+                                         deg, consts, annealing)
 
     return call
 

@@ -30,6 +30,13 @@ class EngineBase:
     """Owns output files, heldout splits, the stopping controller, and the
     community/NMI logging. Subclasses own gamma/lam device state and steps."""
 
+    # The classic-SVI engines (MMSBInfer/FastAMM/FastAMM2/FastInit)
+    # sample TWO disjoint splits: heldout drives the stopping rule and
+    # heldout.txt, validation is evaluated at new maxima and recorded as
+    # max.txt column 6 (reference: src/mmsbinfer.cc:206-328, 2145-2170).
+    # LinkSampling's reference uses a single split (linksampling.cc:170-179).
+    dual_heldout_splits = False
+
     # Checkpoints store the NEXT iteration to run. At a report boundary the
     # minibatch engines (MMSB/FastAMM/FastAMM2/SBM/...) have already
     # incremented: their loops resume stepping FROM self.iteration, so the
@@ -51,18 +58,25 @@ class EngineBase:
                 network.load_pairs_file(cfg.load_heldout_fname)
             network.assign_training_links()
         else:
-            network.sample_heldout_sets(self.rng)
+            network.sample_heldout_sets(
+                self.rng, dual=self.dual_heldout_splits)
         if cfg.load_test and cfg.load_test_fname:
             network.test_pairs, network.test_y = \
                 network.load_pairs_file(cfg.load_test_fname)
             network.assign_training_links()
 
+        self._dual = bool(len(network.heldout_pairs))
         write_edgelist(cfg.file_str("validation-edges.txt"),
                        network.validation_pairs, network.validation_y,
                        network.seq2id)
-        # the reference names its first split "heldout"; both files exist
+        # dual-split engines dump each split to its own file
+        # (reference: src/mmsbinfer.cc:218-220); single-split engines
+        # write the same set under both names
         write_edgelist(cfg.file_str("heldout-edges.txt"),
-                       network.validation_pairs, network.validation_y,
+                       network.heldout_pairs if self._dual
+                       else network.validation_pairs,
+                       network.heldout_y if self._dual
+                       else network.validation_y,
                        network.seq2id)
         if len(network.test_pairs):
             write_edgelist(cfg.file_str("test-edges.txt"),
@@ -127,6 +141,16 @@ class EngineBase:
         self.n, self.k = network.n, cfg.k
         self.val_pairs = self._eval_pairs(network.validation_pairs)
         self.val_y = self._eval_pairs(network.validation_y.astype(np.int32))
+        # the STOPPING split: heldout for dual-split engines, otherwise
+        # the validation split object itself (identity matters — engine
+        # _heldout overrides key off `pairs is self.val_pairs`)
+        if self._dual:
+            self.stop_pairs = self._eval_pairs(network.heldout_pairs)
+            self.stop_y = self._eval_pairs(
+                network.heldout_y.astype(np.int32))
+        else:
+            self.stop_pairs, self.stop_y = self.val_pairs, self.val_y
+        self._max_v = -2147483647.0   # validation avg at the best nshol
         self.test_pairs = (self._eval_pairs(network.test_pairs)
                            if len(network.test_pairs) else None)
         self.test_y = (self._eval_pairs(network.test_y.astype(np.int32))
@@ -355,13 +379,18 @@ class EngineBase:
         return heldout_stats(eg, el, pairs, y, self.cfg.epsilon)
 
     def report(self) -> bool:
-        """Validation likelihood + stopping logic. Returns True to stop."""
+        """Stopping-split likelihood + stopping logic. Returns True to
+        stop. Dual-split engines stop on the heldout split and record
+        the validation split only at new maxima (reference:
+        src/mmsbinfer.cc:2085-2170); single-split engines write the same
+        rows to both files."""
         cfg = self.cfg
-        res = self._heldout(self.val_pairs, self.val_y)
-        nshol = self._vf.write(self.iteration, self.duration(), res,
+        res = self._heldout(self.stop_pairs, self.stop_y)
+        nshol = self._hf.write(self.iteration, self.duration(), res,
                                cfg.zeros_prob, cfg.ones_prob)
-        self._hf.write(self.iteration, self.duration(), res,
-                       cfg.zeros_prob, cfg.ones_prob)
+        if not self._dual:
+            self._vf.write(self.iteration, self.duration(), res,
+                           cfg.zeros_prob, cfg.ones_prob)
         if self._tf is not None:
             tres = self._heldout(self.test_pairs, self.test_y)
             self._tf.write(self.iteration, self.duration(), tres,
@@ -417,11 +446,24 @@ class EngineBase:
             self._timef.write(f"{self.iteration}\t{self.duration()}\n")
             self._timef.flush()
 
+        prev_max = self.stopper.max_h
         stop = self.stopper.update(self.iteration, nshol)
         self._last_stop_raw = stop
+        if self._dual and self.stopper.max_h > prev_max:
+            # new best: evaluate the independent validation split and
+            # write its 8-column row (reference: validation_likelihood,
+            # src/mmsbinfer.cc:2214-2217; recorded as max.txt col 6)
+            vres = self._heldout(self.val_pairs, self.val_y)
+            self._max_v = vres.avg
+            self._vf._f.write(
+                f"{self.iteration}\t{self.duration()}\t{vres.avg:.5f}\t"
+                f"{vres.count}\t{vres.avg0:.5f}\t{vres.count0}\t"
+                f"{vres.avg1:.5f}\t{vres.count1}\n")
+            self._vf._f.flush()
         write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
                   nshol, self.stopper.max_t, self.stopper.max_h,
-                  self.stopper.why)
+                  self.stopper.why,
+                  max_v=self._max_v if self._dual else None)
         # Per-report community extraction feeds the NMI trace (mutual.txt,
         # one entry per report in the reference's bundled runs); without
         # -nmi the reference only needs communities at stop, so huge runs

@@ -102,6 +102,8 @@ class FastAMM(EngineBase):
     """Host driver for -infset (requires a -preprocess run or computes the
     neighborhood sets inline when neighbors.bin is absent)."""
 
+    dual_heldout_splits = True   # src/fastamm.cc:319-320
+
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):
         super().__init__(cfg, network, rng)

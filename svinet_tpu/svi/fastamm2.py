@@ -39,6 +39,8 @@ M_SETS = 10         # reference: src/fastamm2.cc:11
 class FastAMM2(EngineBase):
     """Host driver for -stratified -rnode."""
 
+    dual_heldout_splits = True   # src/fastamm2.cc (init_heldout)
+
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):
         cfg.create_test_precision_sets = True
@@ -100,7 +102,10 @@ class FastAMM2(EngineBase):
         # *-edges.txt (reference: src/fastamm2.cc:94-117)
         from svinet_tpu.io.writers import write_edgelist
         write_edgelist(cfg.file_str("heldout-pairs.txt"),
-                       network.validation_pairs, network.validation_y,
+                       network.heldout_pairs if self._dual
+                       else network.validation_pairs,
+                       network.heldout_y if self._dual
+                       else network.validation_y,
                        network.seq2id)
         write_edgelist(cfg.file_str("validation-pairs.txt"),
                        network.validation_pairs, network.validation_y,

@@ -152,6 +152,8 @@ def overlap_stats(ids, pi, pairs, block: int = 0):
 class FastInit(EngineBase):
     """Host driver for -findk."""
 
+    dual_heldout_splits = True   # src/fastinit.cc (init_heldout)
+
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):
         super().__init__(cfg, network, rng)
@@ -203,31 +205,48 @@ class FastInit(EngineBase):
     def _pi(self):
         return sparse_pi(self.ids, self.cnt, jnp.float32(self.cfg.alpha))
 
-    def report(self) -> bool:
-        """Sparse heldout likelihood + communities
-        (reference: FastInit::heldout_likelihood, src/fastinit.cc:508-560)."""
-        cfg = self.cfg
+    def _sparse_res(self, pairs, y) -> "HeldoutResult":
+        """Heldout stats over a pair set from the sparse top-width model."""
         pi = self._pi()
-        ssum, _, _ = overlap_stats(self.ids, pi, self.val_pairs)
-        y = np.asarray(self.val_y)
+        ssum, _, _ = overlap_stats(self.ids, pi, pairs)
+        y = np.asarray(y)
         s = np.asarray(ssum)
         ll = np.log(np.maximum(np.where(y == 1, s, 1.0 - s), 1e-30))
         ones = y == 1
-        res = HeldoutResult(
+        return HeldoutResult(
             avg=float(ll.mean()), count=len(ll),
             avg0=float(ll[~ones].mean()) if (~ones).any() else 0.0,
             count0=int((~ones).sum()),
             avg1=float(ll[ones].mean()) if ones.any() else 0.0,
             count1=int(ones.sum()))
-        nshol = self._vf.write(self.iteration, self.duration(), res,
+
+    def report(self) -> bool:
+        """Sparse heldout likelihood + communities
+        (reference: FastInit::heldout_likelihood, src/fastinit.cc:508-560).
+        Dual splits: stop on the heldout set, record the validation set
+        at new maxima (max.txt col 6), like the other classic engines."""
+        cfg = self.cfg
+        res = self._sparse_res(self.stop_pairs, self.stop_y)
+        nshol = self._hf.write(self.iteration, self.duration(), res,
                                cfg.zeros_prob, cfg.ones_prob)
-        self._hf.write(self.iteration, self.duration(), res,
-                       cfg.zeros_prob, cfg.ones_prob)
+        if not self._dual:
+            self._vf.write(self.iteration, self.duration(), res,
+                           cfg.zeros_prob, cfg.ones_prob)
+        prev_max = self.stopper.max_h
         stop = self.stopper.update(self.iteration, nshol)
         self._last_stop_raw = stop
+        if self._dual and self.stopper.max_h > prev_max:
+            vres = self._sparse_res(self.val_pairs, self.val_y)
+            self._max_v = vres.avg
+            self._vf._f.write(
+                f"{self.iteration}\t{self.duration()}\t{vres.avg:.5f}\t"
+                f"{vres.count}\t{vres.avg0:.5f}\t{vres.count0}\t"
+                f"{vres.avg1:.5f}\t{vres.count1}\n")
+            self._vf._f.flush()
         write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
                   nshol, self.stopper.max_t, self.stopper.max_h,
-                  self.stopper.why)
+                  self.stopper.why,
+                  max_v=self._max_v if self._dual else None)
         self.log_communities()
         self._end_of_report()   # SIGTERM save-and-continue + periodic ckpt
         return stop and cfg.use_validation_stop

@@ -49,7 +49,8 @@ from svinet_tpu.io.writers import load_model
 
 
 def _sweep_body(gamma, lam, edges, mask, deg, consts: LSConsts,
-                annealing, num_blocks: int, freeze: bool = False):
+                annealing, num_blocks: int, freeze: bool = False,
+                bf16: bool = False):
     # Converged-node freezing (reference fast path,
     # src/linksampling.cc:618-631): implemented via the `conv` argument of
     # phi_pass/s3_pass (see converged_of). Measured on the v5e it makes
@@ -60,35 +61,43 @@ def _sweep_body(gamma, lam, edges, mask, deg, consts: LSConsts,
     # community count (K=20 on assort-75-4: 4 populated communities with
     # freezing vs ~11 without), exposed as `-freeze`.
     elogpi = dirichlet_expectation(gamma)
+    if bf16:
+        # -bf16: store the gathered rows half-width; phi_pass casts back
+        # to f32 AFTER the gather and accumulates in f32 (the roofline's
+        # measured 1.23x on the gather-bound term, README Roofline)
+        elogpi = elogpi.astype(jnp.bfloat16)
     elogbeta = dirichlet_expectation(lam)
     conv = converged_of(gamma, consts.alpha) if freeze else None
     gacc, sumk = phi_pass(elogpi, elogbeta[:, 0], edges, mask, num_blocks,
                           conv)
     gnext, mphi, s1, s2, lam0 = mean_indicator_update(
         gacc, sumk, deg, consts, annealing)
-    s3 = s3_pass(mphi, edges, mask, num_blocks, conv)
+    s3 = s3_pass(mphi.astype(jnp.bfloat16) if bf16 else mphi,
+                 edges, mask, num_blocks, conv)
     return gnext, finish_lambda(s1, s2, s3, lam0, consts)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("num_blocks", "freeze"))
+                   static_argnames=("num_blocks", "freeze", "bf16"))
 def linksampling_sweep(gamma, lam, edges, mask, deg, consts: LSConsts,
-                       annealing, num_blocks: int, freeze: bool = False):
+                       annealing, num_blocks: int, freeze: bool = False,
+                       bf16: bool = False):
     """One full sweep over the training links. Pure function of the state.
 
     edges: (Ep,2) int32 padded; mask: (Ep,) f32; deg: (n,) f32 training degree.
     annealing: f32 scalar in {0,1}.
     """
     return _sweep_body(gamma, lam, edges, mask, deg, consts, annealing,
-                       num_blocks, freeze)
+                       num_blocks, freeze, bf16)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("num_blocks", "n_sweeps", "freeze"))
+                   static_argnames=("num_blocks", "n_sweeps", "freeze",
+                                    "bf16"))
 def linksampling_multi_sweep(gamma, lam, edges, mask, deg,
                              consts: LSConsts, annealing,
                              num_blocks: int, n_sweeps: int,
-                             freeze: bool = False):
+                             freeze: bool = False, bf16: bool = False):
     """n_sweeps full sweeps fused into ONE device program.
 
     Between report boundaries nothing on the host needs the intermediate
@@ -99,19 +108,24 @@ def linksampling_multi_sweep(gamma, lam, edges, mask, deg,
     def body(_, state):
         g, l = state
         return _sweep_body(g, l, edges, mask, deg, consts, annealing,
-                           num_blocks, freeze)
+                           num_blocks, freeze, bf16)
     return jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
 
 
 def _fused_sweep_body(gamma, lam, mphi, edges, mask, deg,
-                      consts: LSConsts, annealing, num_blocks: int):
+                      consts: LSConsts, annealing, num_blocks: int,
+                      bf16: bool = False):
     """-fuse-s3 sweep: one edge pass over packed [Elogpi | mphi_prev]
     rows computes phi stats AND the (one-sweep-lagged) s3 cross-moment
     — two fewer row gathers per edge (README Roofline: the sweep is
-    row-op bound). Carries mphi between sweeps."""
+    row-op bound). Carries mphi between sweeps. With -bf16 the packed
+    rows are stored half-width; the pass casts back to f32 after the
+    gather and accumulates in f32."""
     elogpi = dirichlet_expectation(gamma)
     elogbeta = dirichlet_expectation(lam)
     packed = jnp.concatenate([elogpi, mphi], axis=1)
+    if bf16:
+        packed = packed.astype(jnp.bfloat16)
     gacc, sumk, s3 = fused_phi_s3_pass(packed, elogbeta[:, 0], edges,
                                        mask, num_blocks)
     gnext, mphi_new, s1, s2, lam0 = mean_indicator_update(
@@ -120,16 +134,63 @@ def _fused_sweep_body(gamma, lam, mphi, edges, mask, deg,
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
-                   static_argnames=("num_blocks", "n_sweeps"))
+                   static_argnames=("num_blocks", "n_sweeps", "bf16"))
 def linksampling_fused_multi_sweep(gamma, lam, mphi, edges, mask, deg,
                                    consts: LSConsts, annealing,
-                                   num_blocks: int, n_sweeps: int):
+                                   num_blocks: int, n_sweeps: int,
+                                   bf16: bool = False):
     """n_sweeps -fuse-s3 sweeps fused into one device program."""
     def body(_, state):
         g, l, m = state
         return _fused_sweep_body(g, l, m, edges, mask, deg, consts,
-                                 annealing, num_blocks)
+                                 annealing, num_blocks, bf16)
     return jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam, mphi))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("num_blocks", "n_sweeps", "bf16",
+                                    "ho_blocks"))
+def linksampling_fused_multi_sweep_ho(gamma, lam, mphi, edges, mask, deg,
+                                      consts: LSConsts, annealing,
+                                      ho_pairs, ho_y, ho_w, eps,
+                                      num_blocks: int, n_sweeps: int,
+                                      ho_blocks: int, bf16: bool = False):
+    """Fused multi-sweep + the validation heldout sums computed on the
+    FINAL state as the tail of the same program: a report boundary costs
+    one device round trip instead of sweep-then-eval (round-3 review:
+    each extra dispatch is ~8 ms through the remote-TPU tunnel)."""
+    from svinet_tpu.evals.likelihood import heldout_sums_blocked
+
+    def body(_, state):
+        g, l, m = state
+        return _fused_sweep_body(g, l, m, edges, mask, deg, consts,
+                                 annealing, num_blocks, bf16)
+    g, l, m = jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam, mphi))
+    sums = heldout_sums_blocked(g, l, ho_pairs, ho_y, ho_w, eps,
+                                ho_blocks)
+    return g, l, m, sums
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("num_blocks", "n_sweeps", "freeze",
+                                    "bf16", "ho_blocks"))
+def linksampling_multi_sweep_ho(gamma, lam, edges, mask, deg,
+                                consts: LSConsts, annealing,
+                                ho_pairs, ho_y, ho_w, eps,
+                                num_blocks: int, n_sweeps: int,
+                                ho_blocks: int, freeze: bool = False,
+                                bf16: bool = False):
+    """Unfused multi-sweep with the heldout-sums tail (see above)."""
+    from svinet_tpu.evals.likelihood import heldout_sums_blocked
+
+    def body(_, state):
+        g, l = state
+        return _sweep_body(g, l, edges, mask, deg, consts, annealing,
+                           num_blocks, freeze, bf16)
+    g, l = jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
+    sums = heldout_sums_blocked(g, l, ho_pairs, ho_y, ho_w, eps,
+                                ho_blocks)
+    return g, l, sums
 
 
 @jax.jit
@@ -137,6 +198,78 @@ def _active_counts(gamma, alpha):
     """Per-node count of communities with gamma - alpha >= 1 (the
     reference's convergence test, src/linksampling.cc:456-475)."""
     return (gamma - alpha >= 1.0).sum(axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------
+# Active-K column compaction (-prune): the TPU form of the reference's
+# active-community pruning (src/linksampling.cc:634-664). The reference
+# computes per-pair phi over the union of the endpoints' active-k lists;
+# on TPU data-dependent per-pair widths are anti-XLA, so instead the
+# GLOBAL active column set (any node with gamma - alpha >= 1 — the same
+# per-node criterion, src/linksampling.cc:461-466) is gathered into a
+# compacted (n, K_pad) layout once per report interval and the identical
+# sweep runs at the narrow width. Inactive columns sit at (alpha, eta),
+# exactly where a pruned reference sweep leaves them, so expansion at
+# the next report boundary is lossless.
+
+@jax.jit
+def _active_cols(gamma, alpha):
+    """(K,) bool: column k is active when ANY node has gamma-alpha >= 1."""
+    return (gamma - alpha >= 1.0).any(axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("kpad",))
+def compact_columns(gamma, lam, idx, colmask, alpha, eta, kpad: int):
+    """Gather the active columns (idx, padded with out-of-range K) into
+    (n, kpad) / (kpad, 2); padded slots get (alpha, eta)."""
+    gc = jnp.take(gamma, idx, axis=1, mode="clip")
+    lc = jnp.take(lam, idx, axis=0, mode="clip")
+    gc = jnp.where(colmask[None, :] > 0, gc, alpha)
+    lc = jnp.where(colmask[:, None] > 0, lc, eta[None, :])
+    return gc, lc
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def expand_columns(gamma_c, lam_c, idx, alpha, eta, k: int):
+    """Scatter compacted columns back to full width K; every non-active
+    column is (alpha, eta) (the pruned sweep's fixed point for them).
+    Padded idx entries are K (out of range) and drop on scatter."""
+    n = gamma_c.shape[0]
+    gamma = jnp.full((n, k), alpha, gamma_c.dtype)
+    lam = jnp.broadcast_to(eta[None, :], (k, 2)).astype(lam_c.dtype)
+    gamma = gamma.at[:, idx].set(gamma_c, mode="drop")
+    lam = lam.at[idx, :].set(lam_c, mode="drop")
+    return gamma, lam
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("num_blocks", "n_sweeps", "freeze"))
+def linksampling_compact_multi_sweep(gamma_c, lam_c, edges, mask, deg,
+                                     consts: LSConsts, rest, colmask,
+                                     num_blocks: int, n_sweeps: int,
+                                     freeze: bool = False):
+    from svinet_tpu.svi.sweep_math import compact_sweep_body
+
+    def body(_, state):
+        g, l = state
+        return compact_sweep_body(g, l, edges, mask, deg, consts, rest,
+                                  colmask, num_blocks, freeze)
+    return jax.lax.fori_loop(0, n_sweeps, body, (gamma_c, lam_c))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("num_blocks", "n_sweeps"))
+def linksampling_compact_fused_multi_sweep(gamma_c, lam_c, mphi_c, edges,
+                                           mask, deg, consts: LSConsts,
+                                           rest, colmask,
+                                           num_blocks: int, n_sweeps: int):
+    from svinet_tpu.svi.sweep_math import compact_fused_sweep_body
+
+    def body(_, state):
+        g, l, m = state
+        return compact_fused_sweep_body(g, l, m, edges, mask, deg, consts,
+                                        rest, colmask, num_blocks)
+    return jax.lax.fori_loop(0, n_sweeps, body, (gamma_c, lam_c, mphi_c))
 
 
 def init_gamma_from_communities(members, deg: np.ndarray, n: int, k: int,
@@ -259,6 +392,7 @@ class LinkSampling(EngineBase):
             n_nodes=jnp.float32(n))
 
         self.annealing = True
+        self._compact = None     # active-K compaction state (-prune)
         self._ce_cache = (self.edges, self.mask)  # reuse for communities
 
         if cfg.fuse_s3 and cfg.freeze_converged:
@@ -267,6 +401,8 @@ class LinkSampling(EngineBase):
             cfg.fuse_s3 = False
         if cfg.fuse_s3:
             cfg.plog("fuse s3", True)
+        if cfg.bf16_rows:
+            cfg.plog("bf16 rows", True)
 
         # -mesh N: data-parallel sweep over a device mesh — training links
         # sharded, gamma/lambda replicated, sufficient statistics psum'd
@@ -307,7 +443,8 @@ class LinkSampling(EngineBase):
                 row = NamedSharding(mesh, P("edges"))
                 if cfg.fuse_s3:
                     self._mesh_sweep = make_rowsharded_fused_multi_sweep(
-                        mesh, per_shard // block)
+                        mesh, per_shard // block,
+                        bf16=bool(cfg.bf16_rows))
                     self.mphi = global_put(
                         np.zeros((n, k), np.float32), row)
                 else:
@@ -324,7 +461,8 @@ class LinkSampling(EngineBase):
                     make_sharded_fused_multi_sweep)
                 if cfg.fuse_s3:
                     self._mesh_sweep = make_sharded_fused_multi_sweep(
-                        mesh, per_shard // block)
+                        mesh, per_shard // block,
+                        bf16=bool(cfg.bf16_rows))
                     self.mphi, = device_put_replicated(
                         mesh, np.zeros((n, k), np.float32))
                 else:
@@ -370,6 +508,28 @@ class LinkSampling(EngineBase):
                      ReportFile(cfg.file_str(f"{name}-hol.txt"),
                                 append=bool(cfg.resume))))
 
+        # fold the validation heldout eval into the sweep program's tail
+        # (single-process, single-device paths): pad the pair set once to
+        # whole blocks so every report interval runs ONE device program
+        self._ho_dev = None
+        self._ho_res = None
+        import jax as _jax
+        if _jax.process_count() == 1 and self._mesh_sweep is None:
+            m = len(network.validation_pairs)
+            if m:
+                blk = min(1 << 17,
+                          max(64, 1 << int(np.ceil(np.log2(m)))))
+                nb = (m + blk - 1) // blk
+                tot = nb * blk
+                pp = np.zeros((tot, 2), np.int32)
+                pp[:m] = network.validation_pairs
+                yy = np.zeros(tot, np.int32)
+                yy[:m] = network.validation_y
+                ww = np.zeros(tot, np.float32)
+                ww[:m] = 1.0
+                self._ho_dev = (jnp.asarray(pp), jnp.asarray(yy),
+                                jnp.asarray(ww), nb)
+
         if cfg.resume and self.try_restore():
             print(f"+ resumed from checkpoint at iteration {self.iteration}")
 
@@ -405,13 +565,36 @@ class LinkSampling(EngineBase):
     # ------------------------------------------------------------------
     def step(self, n_sweeps: int = 1) -> None:
         """n_sweeps sweeps over all training links, fused into one device
-        program (one host round trip)."""
+        program (one host round trip); on the single-device paths the
+        validation heldout sums ride the same program's tail."""
         ann = jnp.float32(1.0 if self.annealing else 0.0)
+        self._ho_res = None
+        if self._compact is not None:
+            c = self._compact
+            if self.cfg.fuse_s3:
+                (self.gamma, self.lam,
+                 self.mphi) = linksampling_compact_fused_multi_sweep(
+                    self.gamma, self.lam, self.mphi, self.edges,
+                    self.mask, self.deg, self.consts, c["rest"],
+                    c["colmask"], self.num_blocks, n_sweeps)
+            else:
+                self.gamma, self.lam = linksampling_compact_multi_sweep(
+                    self.gamma, self.lam, self.edges, self.mask,
+                    self.deg, self.consts, c["rest"], c["colmask"],
+                    self.num_blocks, n_sweeps,
+                    bool(self.cfg.freeze_converged))
+            return
+        # -bf16 engages only AFTER annealing: the anneal-exit plateau
+        # detector needs the f32-resolution nshol trace (measured: bf16
+        # wobble during annealing stalls the exit from iter ~76 to ~394
+        # on LFR); the post-anneal phase — the bulk of a long run — gets
+        # the half-width gathers
+        bf = bool(self.cfg.bf16_rows) and not self.annealing
         if self._mesh_sweep is not None:
             if self.cfg.fuse_s3:
                 self.gamma, self.lam, self.mphi = self._mesh_sweep(
                     self.gamma, self.lam, self.mphi, self.edges,
-                    self.mask, self.deg, self.consts, ann, n_sweeps)
+                    self.mask, self.deg, self.consts, ann, n_sweeps, bf)
             else:
                 self.gamma, self.lam = self._mesh_sweep(
                     self.gamma, self.lam, self.edges, self.mask,
@@ -422,24 +605,108 @@ class LinkSampling(EngineBase):
             # transient sweep with s3=0, converged semantics identical)
             if not hasattr(self, "mphi"):
                 self.mphi = jnp.zeros((self.n, self.k), jnp.float32)
-            self.gamma, self.lam, self.mphi = linksampling_fused_multi_sweep(
-                self.gamma, self.lam, self.mphi, self.edges, self.mask,
-                self.deg, self.consts, ann, self.num_blocks, n_sweeps)
+            if self._ho_dev is not None:
+                hp, hy, hw, nb = self._ho_dev
+                (self.gamma, self.lam, self.mphi,
+                 self._ho_res) = linksampling_fused_multi_sweep_ho(
+                    self.gamma, self.lam, self.mphi, self.edges,
+                    self.mask, self.deg, self.consts, ann, hp, hy, hw,
+                    jnp.float32(self.cfg.epsilon), self.num_blocks,
+                    n_sweeps, nb, bf)
+            else:
+                (self.gamma, self.lam,
+                 self.mphi) = linksampling_fused_multi_sweep(
+                    self.gamma, self.lam, self.mphi, self.edges,
+                    self.mask, self.deg, self.consts, ann,
+                    self.num_blocks, n_sweeps, bf)
             return
         fz = bool(self.cfg.freeze_converged)
-        if n_sweeps == 1:
+        if self._ho_dev is not None:
+            hp, hy, hw, nb = self._ho_dev
+            self.gamma, self.lam, self._ho_res = linksampling_multi_sweep_ho(
+                self.gamma, self.lam, self.edges, self.mask, self.deg,
+                self.consts, ann, hp, hy, hw,
+                jnp.float32(self.cfg.epsilon), self.num_blocks, n_sweeps,
+                nb, fz, bf)
+        elif n_sweeps == 1:
             self.gamma, self.lam = linksampling_sweep(
                 self.gamma, self.lam, self.edges, self.mask, self.deg,
-                self.consts, ann, self.num_blocks, fz)
+                self.consts, ann, self.num_blocks, fz, bf)
         else:
             self.gamma, self.lam = linksampling_multi_sweep(
                 self.gamma, self.lam, self.edges, self.mask, self.deg,
-                self.consts, ann, self.num_blocks, n_sweeps, fz)
+                self.consts, ann, self.num_blocks, n_sweeps, fz, bf)
+
+    # ------------------------------------------------------------------
+    def _expand_if_compacted(self) -> None:
+        """Restore the full (n,K) layout before anything host-facing
+        (reports, model dumps, checkpoints) touches the state."""
+        c = self._compact
+        if c is None:
+            return
+        self.gamma, self.lam = expand_columns(
+            self.gamma, self.lam, c["idx"], self.consts.alpha,
+            self.consts.eta, self.k)
+        if self.cfg.fuse_s3 and getattr(self, "mphi", None) is not None:
+            self.mphi = jnp.zeros((self.n, self.k), jnp.float32).at[
+                :, c["idx"]].set(self.mphi, mode="drop")
+        self._compact = None
+
+    def _maybe_compact(self) -> None:
+        """Engage active-K column compaction for the next report interval
+        (TPU form of the reference's active-k pruning,
+        src/linksampling.cc:634-664): once annealing is over, columns
+        where NO node has gamma - alpha >= 1 are dropped to their fixed
+        point (alpha, eta) and the sweep runs at the padded active width.
+        Like the reference's per-node lists, a dropped community can
+        never re-enter (phi is only computed over active columns)."""
+        cfg = self.cfg
+        if (not cfg.prune or self.annealing
+                or self._mesh_sweep is not None):
+            return
+        from svinet_tpu.io.checkpoint import host_read
+        act = host_read(_active_cols(self.gamma, self.consts.alpha))
+        ka = int(act.sum())
+        if ka == 0:
+            return
+        kpad = max(8, 1 << int(np.ceil(np.log2(ka))))
+        if kpad > cfg.prune_frac * self.k:
+            return
+        idx = np.full(kpad, self.k, np.int32)   # pads point out of range
+        idx[:ka] = np.nonzero(act)[0].astype(np.int32)
+        idx_d = jnp.asarray(idx)
+        colmask = jnp.asarray(
+            (np.arange(kpad) < ka).astype(np.float32))
+        self.gamma, self.lam = compact_columns(
+            self.gamma, self.lam, idx_d, colmask, self.consts.alpha,
+            self.consts.eta, kpad)
+        if cfg.fuse_s3:
+            m = getattr(self, "mphi", None)
+            if m is None:
+                m = jnp.zeros((self.n, self.k), jnp.float32)
+            self.mphi = jnp.where(
+                colmask[None, :] > 0,
+                jnp.take(m, idx_d, axis=1, mode="clip"), 0.0)
+        self._compact = {"idx": idx_d, "colmask": colmask,
+                         "rest": jnp.float32((self.k - ka) * cfg.alpha),
+                         "kpad": kpad, "ka": ka}
+        self.log("prune: %d/%d active communities, sweeping at width %d",
+                 ka, self.k, kpad)
+
+    def _heldout(self, pairs, y):
+        """Validation-set evals consume the sums computed on device as
+        the sweep program's tail (ONE round trip per report); other pair
+        sets (test/training-sample) fall through to the standalone jit."""
+        if pairs is self.val_pairs and self._ho_res is not None:
+            from svinet_tpu.evals.likelihood import result_from_sums
+            return result_from_sums(self._ho_res)
+        return super()._heldout(pairs, y)
 
     def report(self) -> bool:
         """EngineBase reporting + the annealing phase switch: the FIRST
         validation plateau ends annealing instead of the run
         (reference: src/linksampling.cc:1036-1043)."""
+        self._expand_if_compacted()
         stop = super().report()
         self._log_convergence()
         if self._test_sets:
@@ -501,6 +768,10 @@ class LinkSampling(EngineBase):
                 self.stopper.nh = 0
             stop = False
         self._end_of_report()
+        if not stop:
+            # checkpoint above snapshots the FULL layout; only now narrow
+            # the state for the next report interval's sweeps
+            self._maybe_compact()
         return stop
 
     def _anneal_plateau(self) -> bool:
@@ -583,6 +854,7 @@ class LinkSampling(EngineBase):
             f.write(f"{auc_fn(scores, np.asarray(ys)):.5f}\n")
 
     def do_on_stop(self, next_iteration=None) -> None:
+        self._expand_if_compacted()
         super().do_on_stop(next_iteration=next_iteration)
         self.write_auc()
 

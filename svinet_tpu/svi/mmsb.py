@@ -227,6 +227,8 @@ def init_gamma_random(rng: np.random.Generator, n: int, k: int,
 class MMSBInfer(EngineBase):
     """Host driver for batch / rpair / rnode / stratified modes."""
 
+    dual_heldout_splits = True   # src/mmsbinfer.cc:206-328
+
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):
         super().__init__(cfg, network, rng)

@@ -57,7 +57,11 @@ def phi_pass(elogpi, elb0, edges, mask, num_blocks: int, conv=None
         gacc, sumk = carry
         e, m = blk
         p, q = e[:, 0], e[:, 1]
-        logits = elogpi[p] + elogpi[q] + elb0
+        # rows may be stored bf16 (-bf16: halves the gather bytes, the
+        # roofline's dominant per-row term); the compute path is f32 —
+        # cast AFTER the gather, accumulate in f32
+        logits = (elogpi[p].astype(jnp.float32)
+                  + elogpi[q].astype(jnp.float32) + elb0)
         phi = jax.nn.softmax(logits, axis=-1)
         if conv is not None:
             cp, cq = conv[p], conv[q]
@@ -73,7 +77,7 @@ def phi_pass(elogpi, elb0, edges, mask, num_blocks: int, conv=None
 
     (gacc, sumk), _ = jax.lax.scan(
         block,
-        (jnp.zeros((n, k), elogpi.dtype), jnp.zeros((k,), elogpi.dtype)),
+        (jnp.zeros((n, k), jnp.float32), jnp.zeros((k,), jnp.float32)),
         (e_blocks, m_blocks))
     return gacc, sumk
 
@@ -118,7 +122,8 @@ def s3_pass(mphi, edges, mask, num_blocks: int, conv=None) -> jax.Array:
     def block(s3, blk):
         e, m = blk
         p, q = e[:, 0], e[:, 1]
-        contrib = mphi[p] * mphi[q]
+        contrib = (mphi[p].astype(jnp.float32)
+                   * mphi[q].astype(jnp.float32))
         if conv is not None:
             cp, cq = conv[p], conv[q]
             one_sided = (cp > 0) ^ (cq > 0)
@@ -129,7 +134,7 @@ def s3_pass(mphi, edges, mask, num_blocks: int, conv=None) -> jax.Array:
         s3 = s3 + (contrib * m[:, None]).sum(axis=0)
         return s3, None
 
-    s3, _ = jax.lax.scan(block, jnp.zeros((k,), mphi.dtype),
+    s3, _ = jax.lax.scan(block, jnp.zeros((k,), jnp.float32),
                          (e_blocks, m_blocks))
     return s3
 
@@ -169,7 +174,10 @@ def fused_phi_s3_pass(packed, elb0, edges, mask, num_blocks: int
         gacc, sumk, s3 = carry
         e, m = blk
         p, q = e[:, 0], e[:, 1]
-        rp, rq = packed[p], packed[q]
+        # packed rows may be bf16 (-bf16); cast after the gather,
+        # accumulate in f32
+        rp = packed[p].astype(jnp.float32)
+        rq = packed[q].astype(jnp.float32)
         logits = rp[:, :k] + rq[:, :k] + elb0
         phi = jax.nn.softmax(logits, axis=-1) * m[:, None]
         gacc = gacc.at[p].add(phi)
@@ -180,7 +188,59 @@ def fused_phi_s3_pass(packed, elb0, edges, mask, num_blocks: int
 
     (gacc, sumk, s3), _ = jax.lax.scan(
         block,
-        (jnp.zeros((n, k), packed.dtype), jnp.zeros((k,), packed.dtype),
-         jnp.zeros((k,), packed.dtype)),
+        (jnp.zeros((n, k), jnp.float32), jnp.zeros((k,), jnp.float32),
+         jnp.zeros((k,), jnp.float32)),
         (e_blocks, m_blocks))
     return gacc, sumk, s3
+
+
+def compact_elogpi(gamma_c, rest) -> jax.Array:
+    """Dirichlet expectation for COLUMN-COMPACTED gamma (-prune): the
+    normalizer psi(sum_k gamma_nk) must span all K columns, so the
+    dropped (inactive) columns' mass enters as the scalar
+    rest = (K - K_active) * alpha — exact, because a pruned sweep leaves
+    every inactive column at alpha (the reference's active-k path never
+    adds phi outside the active union and gammanext is re-initialized to
+    alpha, src/linksampling.cc:634-664, 448-450)."""
+    return jax.scipy.special.digamma(gamma_c) - jax.scipy.special.digamma(
+        gamma_c.sum(axis=-1, keepdims=True) + rest)
+
+
+def compact_sweep_body(gamma_c, lam_c, edges, mask, deg, consts: LSConsts,
+                       rest, colmask, num_blocks: int,
+                       freeze: bool = False):
+    """One pruned sweep at the compacted width K_pad (TPU form of the
+    reference's active-k pruning, src/linksampling.cc:634-664): identical
+    math to _sweep_body restricted to the active columns. Padded columns
+    (colmask 0) are excluded from the phi softmax via a -1e30 logit bias
+    and end the sweep at (alpha, eta) like every inactive column.
+    Annealing is over by the time pruning engages (annealing = 0).
+    freeze composes: converged flags index the COMPACTED columns, same
+    criterion (gamma - alpha >= 1 on the active columns only — inactive
+    columns are at alpha and could never qualify)."""
+    from svinet_tpu.ops.expectations import dirichlet_expectation
+    elogpi = compact_elogpi(gamma_c, rest)
+    elogbeta = dirichlet_expectation(lam_c)
+    elb0 = jnp.where(colmask > 0, elogbeta[:, 0], -1e30)
+    conv = converged_of(gamma_c, consts.alpha) if freeze else None
+    gacc, sumk = phi_pass(elogpi, elb0, edges, mask, num_blocks, conv)
+    gnext, mphi, s1, s2, lam0 = mean_indicator_update(
+        gacc, sumk, deg, consts, jnp.float32(0.0))
+    s3 = s3_pass(mphi, edges, mask, num_blocks, conv)
+    return gnext, finish_lambda(s1, s2, s3, lam0, consts)
+
+
+def compact_fused_sweep_body(gamma_c, lam_c, mphi_c, edges, mask, deg,
+                             consts: LSConsts, rest, colmask,
+                             num_blocks: int):
+    """-prune x -fuse-s3: the packed-row fused sweep at compacted width."""
+    from svinet_tpu.ops.expectations import dirichlet_expectation
+    elogpi = compact_elogpi(gamma_c, rest)
+    elogbeta = dirichlet_expectation(lam_c)
+    elb0 = jnp.where(colmask > 0, elogbeta[:, 0], -1e30)
+    packed = jnp.concatenate([elogpi, mphi_c], axis=1)
+    gacc, sumk, s3 = fused_phi_s3_pass(packed, elb0, edges, mask,
+                                       num_blocks)
+    gnext, mphi_new, s1, s2, lam0 = mean_indicator_update(
+        gacc, sumk, deg, consts, jnp.float32(0.0))
+    return gnext, finish_lambda(s1, s2, s3, lam0, consts), mphi_new

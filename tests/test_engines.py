@@ -479,3 +479,104 @@ def test_engine_checkpoint_resume_roundtrip(tmp_path, assort_path):
         eng2 = cls(cfg2, net2)
         assert eng2.iteration > 0, name
         np.testing.assert_array_equal(get(eng2), want, err_msg=name)
+
+
+@pytest.mark.parametrize("fused", [False, True], ids=["plain", "fused"])
+def test_prune_engages_and_matches_dense(tmp_path, assort_path, fused):
+    """Active-K compaction (-prune, the TPU form of the reference's
+    pruning, src/linksampling.cc:634-664): force a dead-column state,
+    verify the engine compacts, sweeps at the narrow width, and produces
+    the same trajectory as the dense path. NOTE (measured, round 4): on
+    real fits the global trigger regime is empty — every column keeps at
+    least one node with gamma-alpha>=1 even under -freeze at K=5x the
+    true community count — matching the reference, whose own trigger
+    (iter>1000) never fires on the bundled configs. -prune is
+    correctness-neutral and free when untriggered."""
+    from svinet_tpu.svi.linksampling import LinkSampling
+    import jax.numpy as jnp
+
+    def build(label, prune):
+        cfg = Config(n=75, k=24, link_sampling=True, seed=5,
+                     fuse_s3=fused, prune=prune,
+                     outdir=str(tmp_path / label), max_iterations=12,
+                     use_validation_stop=False, reportfreq=4)
+        cfg.resolve()
+        net = Network(cfg)
+        net.read(assort_path)
+        eng = LinkSampling(cfg, net)
+        # force the dead-column regime: move all mass into 5 columns
+        g = np.asarray(eng.gamma)
+        g2 = np.full_like(g, cfg.alpha)
+        g2[:, :5] = g[:, :5] + g[:, 5:10]
+        eng.gamma = jnp.asarray(g2)
+        eng.annealing = False
+        return eng
+
+    e1 = build("dense", prune=False)
+    e2 = build("pruned", prune=True)
+    e1.infer()
+    e2.infer()
+    # pruning actually engaged (width 8 of 24)
+    log = open(e2.cfg.file_str("infer.log")).read()
+    assert "prune: 5/24 active communities, sweeping at width 8" in log
+    np.testing.assert_allclose(np.asarray(e2.gamma), np.asarray(e1.gamma),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(e2.lam), np.asarray(e1.lam),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_dual_heldout_validation_splits(tmp_path, assort_path):
+    """The classic-SVI engines sample TWO disjoint splits: heldout
+    drives the stopping rule + heldout.txt; validation is evaluated at
+    new maxima and recorded as max.txt column 6 (reference:
+    src/mmsbinfer.cc:206-328, 2145-2170). LinkSampling keeps a single
+    split (linksampling.cc:170-179)."""
+    eng, cfg, net = _make_engine(tmp_path, assort_path, randomnode=True,
+                                 max_iterations=9,
+                                 use_validation_stop=False, reportfreq=3)
+    # two non-empty disjoint splits, both excluded from training
+    assert len(net.heldout_pairs) and len(net.validation_pairs)
+    from svinet_tpu.graph import _pair_key
+    hk = _pair_key(net.heldout_pairs[:, 0].astype(np.int64),
+                   net.heldout_pairs[:, 1].astype(np.int64), net.n)
+    vk = _pair_key(net.validation_pairs[:, 0].astype(np.int64),
+                   net.validation_pairs[:, 1].astype(np.int64), net.n)
+    assert not set(hk) & set(vk), "splits overlap"
+    tk = _pair_key(net.training_links[:, 0].astype(np.int64),
+                   net.training_links[:, 1].astype(np.int64), net.n)
+    assert not set(hk) & set(tk) and not set(vk) & set(tk)
+
+    eng.infer()
+    # 7-column max.txt: iter dur a max_t max_h max_v why
+    row = open(cfg.file_str("max.txt")).read().split()
+    assert len(row) == 7, row
+    max_v = float(row[5])
+    assert np.isfinite(max_v) and max_v < 0
+    # heldout.txt has a row per report (11 cols); validation.txt rows are
+    # 8-col at-max records, at most one per report
+    hrows = [l.split() for l in open(cfg.file_str("heldout.txt"))]
+    vrows = [l.split() for l in open(cfg.file_str("validation.txt"))]
+    assert all(len(r) == 11 for r in hrows) and len(hrows) >= 3
+    assert all(len(r) == 8 for r in vrows) and 1 <= len(vrows) <= len(hrows)
+    # max.txt col 6 equals the LAST at-max validation avg
+    assert abs(float(vrows[-1][2]) - max_v) < 1e-6
+
+    # the split dumps are distinct files with distinct contents
+    he = open(cfg.file_str("heldout-edges.txt")).read()
+    ve = open(cfg.file_str("validation-edges.txt")).read()
+    assert he != ve
+
+
+def test_linksampling_single_split_unchanged(tmp_path, assort_path):
+    """LinkSampling keeps the single split and the 6-column max.txt."""
+    from svinet_tpu.svi.linksampling import LinkSampling
+    cfg = Config(n=75, k=4, link_sampling=True, seed=5,
+                 outdir=str(tmp_path / "ls"), max_iterations=4,
+                 use_validation_stop=False, reportfreq=4)
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    eng = LinkSampling(cfg, net)
+    assert len(net.heldout_pairs) == 0
+    eng.infer()
+    assert len(open(cfg.file_str("max.txt")).read().split()) == 6

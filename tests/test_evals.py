@@ -79,3 +79,33 @@ def test_elbo_finite_and_improves():
     assert len(vals) >= 2
     assert all(np.isfinite(vals))
     assert vals[-1] >= vals[0]
+
+
+def test_heldout_sums_blocked_matches_heldout_stats():
+    """The fused sweep-tail heldout sums must equal the standalone
+    blocked eval (the report-path round-trip fusion, round-3 item 5)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from svinet_tpu.evals.likelihood import (
+        heldout_stats, heldout_sums_blocked, result_from_sums)
+    rng = np.random.default_rng(0)
+    n, k, m = 50, 7, 23
+    gamma = jnp.asarray(rng.gamma(2.0, 1.0, (n, k)), jnp.float32)
+    lam = jnp.asarray(rng.gamma(2.0, 1.0, (k, 2)), jnp.float32)
+    pairs = rng.integers(0, n, (m, 2)).astype(np.int32)
+    y = (rng.uniform(size=m) < 0.5).astype(np.int32)
+    want = heldout_stats(gamma, lam, jnp.asarray(pairs), jnp.asarray(y),
+                         1e-30)
+    # pad to 2 blocks of 16
+    tot = 32
+    pp = np.zeros((tot, 2), np.int32); pp[:m] = pairs
+    yy = np.zeros(tot, np.int32); yy[:m] = y
+    ww = np.zeros(tot, np.float32); ww[:m] = 1.0
+    got = result_from_sums(heldout_sums_blocked(
+        gamma, lam, jnp.asarray(pp), jnp.asarray(yy), jnp.asarray(ww),
+        jnp.float32(1e-30), 2))
+    assert got.count == want.count == m
+    assert got.count0 == want.count0 and got.count1 == want.count1
+    np.testing.assert_allclose(got.avg, want.avg, rtol=1e-5)
+    np.testing.assert_allclose(got.avg0, want.avg0, rtol=1e-5)
+    np.testing.assert_allclose(got.avg1, want.avg1, rtol=1e-5)

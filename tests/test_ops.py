@@ -144,3 +144,102 @@ def test_phi_pass_one_sided_freeze_hard_assigns():
     np.testing.assert_allclose(gacc[4], want, atol=1e-5)
     np.testing.assert_allclose(gacc[5], want, atol=1e-5)
     assert float(sumk.sum()) == pytest.approx(4.0, abs=1e-5)
+
+
+def _dead_column_state(n=40, k=24, ka=5, seed=0):
+    """Synthetic state where only ka columns carry mass: the regime the
+    active-K compaction (-prune) targets. Dead columns sit at alpha
+    (their pruned-sweep fixed point) so compaction is exact."""
+    rng = np.random.default_rng(seed)
+    alpha = 1.0 / k
+    gamma = np.full((n, k), alpha, np.float32)
+    gamma[:, :ka] = rng.gamma(4.0, 2.0, size=(n, ka))
+    lam = np.tile([1.0, 1.0], (k, 1)).astype(np.float32)
+    lam[:ka] = rng.gamma(5.0, 3.0, size=(ka, 2))
+    edges = rng.integers(0, n, size=(64, 2)).astype(np.int32)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    pad = 64 - len(edges)
+    mask = np.concatenate([np.ones(len(edges), np.float32),
+                           np.zeros(pad, np.float32)])
+    edges = np.concatenate([edges, np.zeros((pad, 2), np.int32)])
+    deg = np.zeros(n, np.float32)
+    np.add.at(deg, edges[: 64 - pad, 0], 1)
+    np.add.at(deg, edges[: 64 - pad, 1], 1)
+    return gamma, lam, edges, mask, deg, alpha
+
+
+@pytest.mark.parametrize("fused", [False, True], ids=["plain", "fused"])
+def test_compact_sweep_matches_dense(fused):
+    """A sweep at the compacted width must equal the dense sweep on the
+    active columns, with inactive columns at their (alpha, eta) fixed
+    point (the -prune correctness contract)."""
+    import jax
+    from svinet_tpu.svi.sweep_math import LSConsts
+    from svinet_tpu.svi.linksampling import (
+        _sweep_body, _fused_sweep_body, compact_columns, expand_columns)
+    from svinet_tpu.svi.sweep_math import (
+        compact_sweep_body, compact_fused_sweep_body)
+
+    n, k, ka = 40, 24, 5
+    gamma, lam, edges, mask, deg, alpha = _dead_column_state(n, k, ka)
+    eta = jnp.asarray([1.0, 1.0], jnp.float32)
+    consts = LSConsts(alpha=jnp.float32(alpha), eta=eta,
+                      ones=jnp.float32(mask.sum()),
+                      n_nodes=jnp.float32(n))
+    g_d, l_d = jnp.asarray(gamma), jnp.asarray(lam)
+    e_d, m_d = jnp.asarray(edges), jnp.asarray(mask)
+    deg_d = jnp.asarray(deg)
+    ann = jnp.float32(0.0)
+
+    kpad = 8
+    idx = np.full(kpad, k, np.int32)
+    idx[:ka] = np.arange(ka)
+    colmask = jnp.asarray((np.arange(kpad) < ka).astype(np.float32))
+    idx_d = jnp.asarray(idx)
+    rest = jnp.float32((k - ka) * alpha)
+    gc, lc = compact_columns(g_d, l_d, idx_d, colmask,
+                             consts.alpha, consts.eta, kpad)
+
+    if fused:
+        mphi = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 0.2, (n, k)), jnp.float32)
+        mphi = mphi.at[:, ka:].set(0.0)   # dead columns have no indicators
+        g1, l1, mp1 = _fused_sweep_body(g_d, l_d, mphi, e_d, m_d, deg_d,
+                                        consts, ann, 1)
+        mc = jnp.where(colmask[None, :] > 0,
+                       jnp.take(mphi, idx_d, axis=1, mode="clip"), 0.0)
+        g2c, l2c, mp2c = compact_fused_sweep_body(
+            gc, lc, mc, e_d, m_d, deg_d, consts, rest, colmask, 1)
+    else:
+        g1, l1 = _sweep_body(g_d, l_d, e_d, m_d, deg_d, consts, ann, 1)
+        g2c, l2c = compact_sweep_body(gc, lc, e_d, m_d, deg_d, consts,
+                                      rest, colmask, 1)
+    g2, l2 = expand_columns(g2c, l2c, idx_d, consts.alpha, consts.eta, k)
+
+    # dense sweep of a dead-column state leaves those columns ~(alpha,eta)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=2e-3, atol=2e-3)
+    if fused:
+        mp2 = jnp.zeros((n, k), jnp.float32).at[:, idx_d].set(
+            mp2c, mode="drop")
+        np.testing.assert_allclose(np.asarray(mp1), np.asarray(mp2),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_compact_expand_roundtrip():
+    from svinet_tpu.svi.linksampling import compact_columns, expand_columns
+    n, k, ka, kpad = 13, 24, 5, 8
+    gamma, lam, *_ , alpha = _dead_column_state(n, k, ka, seed=3)
+    eta = jnp.asarray([1.0, 1.0], jnp.float32)
+    idx = np.full(kpad, k, np.int32)
+    idx[:ka] = np.arange(ka)
+    colmask = jnp.asarray((np.arange(kpad) < ka).astype(np.float32))
+    gc, lc = compact_columns(jnp.asarray(gamma), jnp.asarray(lam),
+                             jnp.asarray(idx), colmask,
+                             jnp.float32(alpha), eta, kpad)
+    g2, l2 = expand_columns(gc, lc, jnp.asarray(idx), jnp.float32(alpha),
+                            eta, k)
+    np.testing.assert_allclose(np.asarray(g2), gamma, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(l2), lam, rtol=1e-6)

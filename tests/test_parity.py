@@ -198,3 +198,34 @@ def test_lfr_findk_parity(tmp_path, lfr_paths, monkeypatch):
     k_est = len([l for l in open(cfg.file_str("communities.txt"))
                  if l.strip()])
     assert 8 <= k_est <= 18, f"estimated K {k_est} far from reference's 13"
+
+
+def test_lfr_bf16_rows(tmp_path, lfr_paths, monkeypatch):
+    """-bf16 (half-width gathered rows, f32 accumulation) must hold the
+    LFR parity bands. bf16 engages only AFTER annealing — measured in
+    round 4: bf16 wobble during annealing stalls the plateau exit from
+    iter ~76 to ~394; with the gating seed 1 lands NMI 0.996 /
+    nshol -0.1104, matching f32 exactly."""
+    monkeypatch.chdir(tmp_path)
+    import re
+    cfg = parse_args([
+        "-file", lfr_paths["network"], "-n", "1000", "-k", "28",
+        "-link-sampling", "-fuse-s3", "-bf16", "-nmi",
+        lfr_paths["ground_truth"], "-seed", "1", "-label", "bf16",
+        "-max-iterations", "120",
+    ])
+    net = Network(cfg)
+    net.read(cfg.datfname)
+    from svinet_tpu.svi.linksampling import LinkSampling
+    eng = LinkSampling(cfg, net)
+    eng.infer()
+    nmis = [float(line.split()[-1])
+            for line in open(cfg.file_str("mutual.txt"))]
+    assert max(nmis) >= 0.95, f"NMI too low: {max(nmis)}"
+    maxrow = open(cfg.file_str("max.txt")).read().split()
+    best_nshol = float(maxrow[4])
+    assert -0.116 < best_nshol < -0.105, f"nshol out of range: {best_nshol}"
+    log = open(cfg.file_str("infer.log")).read()
+    m = re.search(r"annealing ended at iteration (\d+)", log)
+    assert m and int(m.group(1)) <= 90, \
+        "bf16 must not stall the annealing exit (f32 during annealing)"
