@@ -56,6 +56,7 @@ svinet [OPTIONS]
 \t-fuse-s3\tfold the s3 cross-moment into the phi pass (1-sweep lag)
 \t-bf16\tstore gathered sweep rows in bfloat16 (f32 accumulation)
 \t-no-prune\tdisable active-K column compaction after annealing
+\t-no-force\trefuse to overwrite an existing non-empty output dir
 \t-prune-frac F\tcompact when padded active width <= F*K (default 0.5)
 \t-fastqueue <W>\tsparse top-W gamma for -infset at huge K
 \t-findk-width <W>\toverride -findk's sparse label slots per node
@@ -218,7 +219,11 @@ def parse_args(argv: List[str]) -> Config:
             cfg.disjoint = True
         elif a == "-load-test-sets":
             cfg.load_test_sets = True
-        elif a in ("-force", "-online", "-gp", "-bmark", "-adamic-adar"):
+        elif a == "-force":
+            cfg.force_overwrite_dir = True
+        elif a == "-no-force":
+            cfg.force_overwrite_dir = False
+        elif a in ("-online", "-gp", "-bmark", "-adamic-adar"):
             pass  # accepted for compatibility
         elif a == "-nthreads":
             nxt()  # pthreads knob: N/A on TPU, accepted for compatibility

@@ -103,6 +103,10 @@ class Config:
     load_test_sets: bool = False    # uniform/biased-heldout-pairs.txt
     use_init_communities: bool = False
     init_communities_fname: str = ""
+    # -force / -no-force: the reference defaults to overwrite
+    # (src/main.cc:49 `force_overwrite_dir = true`); its refusal path
+    # (Logger::setup_log_dir, src/log.cc:107-126: "Error: dir ... already
+    # exists") is implemented here and reachable via -no-force
     force_overwrite_dir: bool = True
     outdir: str = ""                # resolved by resolve()
     ckpt_outdir: str = ""           # canonical checkpoint dir; multi-host
@@ -277,6 +281,16 @@ class Config:
         return os.path.join(self.outdir, name.lstrip("/"))
 
     def make_outdir(self) -> None:
+        """Create the output dir; with -no-force an existing NON-EMPTY
+        dir is refused (reference: Logger::setup_log_dir,
+        src/log.cc:107-126), except when resuming into it (-resume)."""
+        if (not self.force_overwrite_dir and not self.resume
+                and not getattr(self, "_outdir_checked", False)
+                and os.path.isdir(self.outdir) and os.listdir(self.outdir)):
+            raise SystemExit(
+                f"Error: dir {self.outdir} already exists "
+                f"(use -force to overwrite)")
+        object.__setattr__(self, "_outdir_checked", True)
         os.makedirs(self.outdir, exist_ok=True)
 
     def write_param_txt(self) -> None:

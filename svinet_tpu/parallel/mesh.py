@@ -292,6 +292,7 @@ def init_distributed(coordinator: str = "", num_processes: int = 0,
 def make_sharded_svi_multi_step(mesh: Mesh, num_blocks_per_shard: int,
                                 max_iters: int, thresh: float,
                                 infthresh: float = 0.0,
+                                nonuniform: bool = False,
                                 axis: str = "edges") -> Callable:
     """Sharded natural-gradient SVI steps for the minibatch engines
     (MMSBInfer rpair/rnode/stratified, FastAMM2): minibatch pairs sharded
@@ -301,7 +302,16 @@ def make_sharded_svi_multi_step(mesh: Mesh, num_blocks_per_shard: int,
     map-reduce inside MMSBInfer (PhiRunner map at
     src/mmsbinfer.cc:2459-2550, serial reduce at 1770-1827). B steps are
     fused into one program (scan), matching svi_multi_step's signature
-    with batch arrays (B, nd*per, ...) sharded on axis 1."""
+    with batch arrays (B, nd*per, ...) sharded on axis 1.
+
+    nonuniform (-nonuniform -inf T, src/mmsbinfer.cc:1525-1700): the
+    category COUNTS (links / informative zeros / non-informative zeros)
+    are psum'd so every pair is weighted by the GLOBAL count exactly as
+    single-device; the per-sample caps become per-shard — the single
+    kept non-informative zero lives on shard 0 (n2_max=1,
+    src/mmsbinfer.cc:1571-1572) and the 0.1% informative-zero cap is
+    taken per shard's local count (sums to the global cap within MC
+    error of the shard split)."""
 
     @functools.lru_cache(maxsize=None)
     def build(n_steps: int):
@@ -317,7 +327,38 @@ def make_sharded_svi_multi_step(mesh: Mesh, num_blocks_per_shard: int,
                 pairs, y, w, gs, ls, nr, rt, dl = xs
                 elogpi = dirichlet_expectation(g)
                 elogbeta = dirichlet_expectation(l)
-                if infthresh > 0.0:
+                if nonuniform and infthresh > 0.0:
+                    gp = g[pairs[:, 0]]
+                    gq = g[pairs[:, 1]]
+                    pip = gp / gp.sum(-1, keepdims=True)
+                    piq = gq / gq.sum(-1, keepdims=True)
+                    p_i = jnp.clip((pip * piq).sum(-1), 0.0, 1.0)
+                    valid = w > 0
+                    is_link = (y == 1) & valid
+                    noninf = (y == 0) & valid & (p_i < infthresh)
+                    inf = (y == 0) & valid & (p_i >= infthresh)
+                    f = g.dtype
+                    nones = jax.lax.psum(is_link.sum(), axis)
+                    nz_inf = jax.lax.psum(inf.sum(), axis)
+                    nz_noninf = jax.lax.psum(noninf.sum(), axis)
+                    n3_max_l = (0.001 * inf.sum()).astype(jnp.int32)
+                    shard0 = jax.lax.axis_index(axis) == 0
+                    sel_noninf = (noninf & shard0
+                                  & (jnp.cumsum(noninf.astype(jnp.int32))
+                                     <= 1))
+                    sel_inf = inf & (jnp.cumsum(inf.astype(jnp.int32))
+                                     <= n3_max_l)
+                    w = (is_link.astype(f) * nones.astype(f)
+                         + sel_noninf.astype(f) * nz_noninf.astype(f)
+                         + sel_inf.astype(f) * nz_inf.astype(f))
+                    n_proc = jax.lax.psum(
+                        nones + sel_noninf.sum() + sel_inf.sum(), axis)
+                    n = jnp.asarray(g.shape[0], f)
+                    dev_scale = 3.0 * n / (2.0 * jnp.maximum(
+                        n_proc, 1).astype(f))
+                    gs = jnp.where(gs > 0, dev_scale, -gs)
+                    ls = jnp.where(ls > 0, dev_scale, -ls)
+                elif infthresh > 0.0:
                     gp = g[pairs[:, 0]]
                     gq = g[pairs[:, 1]]
                     pip = gp / gp.sum(-1, keepdims=True)

@@ -267,10 +267,6 @@ class MMSBInfer(EngineBase):
         # exactly here in MMSBInfer (src/mmsbinfer.cc:2400-2550)
         self._mesh = None
         if cfg.mesh_devices > 1:
-            if self._nonuniform:
-                raise SystemExit(
-                    "+ -nonuniform is single-device: its category caps "
-                    "are a sequential scan over the whole sample")
             import jax
             from svinet_tpu.parallel.mesh import (
                 make_mesh, device_put_replicated)
@@ -445,7 +441,8 @@ class MMSBInfer(EngineBase):
             if nbs not in self._mesh_fns:
                 self._mesh_fns[nbs] = make_sharded_svi_multi_step(
                     self._mesh, nbs, cfg.online_iterations,
-                    cfg.meanchangethresh, float(cfg.infthresh))
+                    cfg.meanchangethresh, float(cfg.infthresh),
+                    nonuniform=self._nonuniform)
             self.gamma, self.lam = self._mesh_fns[nbs](
                 self.gamma, self.lam, st(0, np.int32, shard),
                 st(1, np.int32, shard), st(2, np.float32, shard),

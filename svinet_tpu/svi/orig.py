@@ -64,6 +64,59 @@ def _phi2_fixed_point(elogpi_p, elogpi_q, logf1, logf0, y, max_iters,
     return phi1, phi2
 
 
+@functools.partial(jax.jit, static_argnames=("num_blocks", "max_iters"))
+def orig_approx_elbo(gamma_new, gamma_old, beta, pairs, y, w,
+                     alpha, num_blocks: int, max_iters: int,
+                     thresh: float = 1e-5):
+    """Approximate ELBO of the full blockmodel (reference GLOBALPHIS
+    feature: MMSBInferOrig::approx_log_likelihood,
+    src/mmsbinferorig.cc:624-698, logged to logl.txt). The reference
+    stores every pair's phi in an n x n x K D3 (mmsbinferorig.hh:92-101)
+    purely to reuse them here; on TPU the store would be n^2 K floats,
+    so the phis are RE-DERIVED per pair block from the same fixed point
+    they were solved with (gamma_old's expectations) — identical values,
+    no global store. Pair terms use the POST-update Elogpi exactly as
+    the reference (it calls approx_log_likelihood after set_dir_exp).
+    Each unordered pair counts twice (the reference loops ordered pairs;
+    beta is symmetric by the symmetrized M-step, so x2 is exact)."""
+    from jax.scipy.special import gammaln
+    n, k = gamma_new.shape
+    elogpi_old = dirichlet_expectation(gamma_old)
+    elogpi_new = dirichlet_expectation(gamma_new)
+    logf1 = jnp.log(jnp.maximum(beta, 1e-30))
+    logf0 = jnp.log(jnp.maximum(1.0 - beta, 1e-30))
+    lf1 = jnp.log(beta + 1e-10)              # reference: log(f + 1e-10)
+    lf0 = jnp.log(1.0 - beta + 1e-10)
+    p_blocks = pairs.reshape(num_blocks, -1, 2)
+    y_blocks = y.reshape(num_blocks, -1)
+    w_blocks = w.reshape(num_blocks, -1)
+
+    def block(s, blk):
+        e, yy, ww = blk
+        p, q = e[:, 0], e[:, 1]
+        phi1, phi2 = _phi2_fixed_point(elogpi_old[p], elogpi_old[q],
+                                       logf1, logf0, yy, max_iters,
+                                       thresh)
+        t1 = jnp.einsum("bg,gh,bh->b", phi1, lf1, phi2)
+        t0 = jnp.einsum("bg,gh,bh->b", phi1, lf0, phi2)
+        pair = jnp.where(yy == 1, t1, t0)
+        pair = pair + (phi1 * elogpi_new[p]).sum(-1) \
+            + (phi2 * elogpi_new[q]).sum(-1) \
+            - (phi1 * jnp.log(jnp.maximum(phi1, 1e-30))).sum(-1) \
+            - (phi2 * jnp.log(jnp.maximum(phi2, 1e-30))).sum(-1)
+        return s + (2.0 * ww * pair).sum(), None
+
+    s, _ = jax.lax.scan(block, jnp.float32(0.0),
+                        (p_blocks, y_blocks, w_blocks))
+    # per-node Dirichlet prior/entropy terms (src/mmsbinferorig.cc:668-688)
+    a = jnp.float32(alpha)
+    s = s + n * (gammaln(k * a) - k * gammaln(a))
+    s = s + ((a - 1.0) * elogpi_new).sum()
+    s = s - (gammaln(gamma_new.sum(1)).sum() - gammaln(gamma_new).sum())
+    s = s - ((gamma_new - 1.0) * elogpi_new).sum()
+    return s
+
+
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("num_blocks", "max_iters"))
 def orig_batch_step(gamma, beta, pairs, y, w, alpha,
@@ -194,16 +247,31 @@ class MMSBOrig(EngineBase):
 
     def batch_infer(self) -> None:
         cfg = self.cfg
+        lf = (open(cfg.file_str("logl.txt"),
+                   "a" if cfg.resume else "w") if cfg.logl else None)
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
                 return
+            g_old = self.gamma if lf is not None else None
             self.gamma, self.beta = orig_batch_step(
-                self.gamma, self.beta, self.pairs, self.y, self.w,
+                jnp.copy(self.gamma) if lf is not None else self.gamma,
+                self.beta, self.pairs, self.y, self.w,
                 jnp.float32(cfg.alpha), num_blocks=self.nb,
                 max_iters=cfg.online_iterations,
                 thresh=cfg.meanchangethresh)
             self.iteration += 1
+            if lf is not None:
+                # -logl: the reference's GLOBALPHIS approx-ELBO trace
+                # (src/mmsbinferorig.cc:690-692); stopping stays on the
+                # heldout rule like the non-GLOBALPHIS build
+                s = float(orig_approx_elbo(
+                    self.gamma, g_old, self.beta, self.pairs, self.y,
+                    self.w, cfg.alpha, num_blocks=self.nb,
+                    max_iters=cfg.online_iterations,
+                    thresh=cfg.meanchangethresh))
+                lf.write(f"{self.iteration}\t{self.duration()}\t{s:.5f}\n")
+                lf.flush()
             if self.iteration % cfg.reportfreq == 0:
                 if self.report():
                     self.do_on_stop()

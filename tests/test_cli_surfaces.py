@@ -366,3 +366,24 @@ def test_load_test_sets_single_file(tmp_path, assort_path, monkeypatch):
               "-link-sampling", "-label", "ts0", "-max-iterations", "5",
               "-no-stop", "-rfreq", "5", "-seed", "1",
               "-load-test-sets"])
+
+
+def test_no_force_refuses_existing_dir(tmp_path, assort_path, monkeypatch):
+    """-no-force refuses an existing non-empty output dir (the
+    reference's Logger::setup_log_dir refusal, src/log.cc:107-126;
+    its shipped default is overwrite, src/main.cc:49 — ours too)."""
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    base = ["-file", assort_path, "-n", "75", "-k", "4", "-link-sampling",
+            "-label", "nf", "-seed", "1", "-max-iterations", "2",
+            "-no-stop", "-rfreq", "2"]
+    assert main(base) == 0
+    # default (and -force): overwrite succeeds
+    assert main(base) == 0
+    assert main([*base, "-force"]) == 0
+    # -no-force: refuse
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="already exists"):
+        main([*base, "-no-force"])
+    # -no-force on a fresh dir is fine
+    assert main([*base, "-no-force", "-label", "nf2"]) == 0

@@ -580,3 +580,24 @@ def test_linksampling_single_split_unchanged(tmp_path, assort_path):
     assert len(net.heldout_pairs) == 0
     eng.infer()
     assert len(open(cfg.file_str("max.txt")).read().split()) == 6
+
+
+def test_orig_logl_elbo_trace(tmp_path, assort_path):
+    """-orig -logl: the GLOBALPHIS approx-ELBO trace (reference:
+    src/mmsbinferorig.cc:624-698) without the n^2 K phi store — phis are
+    re-derived per block. The trace must be finite and improving over
+    the first iterations (batch VI ascends its objective)."""
+    from svinet_tpu.svi.orig import MMSBOrig
+    cfg = Config(n=75, k=4, orig=True, logl=True, heldout_ratio=0.1,
+                 seed=2, outdir=str(tmp_path / "ol"), max_iterations=6,
+                 use_validation_stop=False, reportfreq=6)
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    eng = MMSBOrig(cfg, net)
+    eng.batch_infer()
+    rows = [l.split() for l in open(cfg.file_str("logl.txt"))]
+    assert len(rows) >= 6
+    vals = [float(r[2]) for r in rows]
+    assert all(np.isfinite(v) for v in vals)
+    assert vals[-1] > vals[0]   # ascending objective

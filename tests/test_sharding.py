@@ -389,3 +389,29 @@ def test_cli_mesh_one_device_rowshard(tmp_path, monkeypatch):
         return np.array([[float(v) for v in r[2:]] for r in rows])
     np.testing.assert_allclose(load("rs1"), load("one"), rtol=2e-4,
                                atol=2e-3)
+
+
+def test_cli_mesh_nonuniform_matches_single(tmp_path, monkeypatch):
+    """-rnode -inf -nonuniform under -mesh 8 (restriction lifted in
+    round 4): category counts are psum'd so weights are exactly the
+    single-device ones; only WHICH capped zero-pairs are kept differs
+    (the single kept non-informative zero lives on shard 0, the 0.1%
+    informative-zero cap is per-shard), so parity is within MC error —
+    pinned on the heldout trace rather than exact gamma."""
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    for label, extra in (("one", []), ("mesh", ["-mesh", "8"])):
+        rc = main(["-file", assort, "-n", "75", "-k", "4", "-rnode",
+                   "-inf", "0.02", "-nonuniform", "-label", f"nu{label}",
+                   "-seed", "1", "-max-iterations", "40", "-no-stop",
+                   "-rfreq", "20", *extra])
+        assert rc == 0
+
+    def last_avg(label):
+        d = next(tmp_path.glob(f"n75-k4-nu{label}-seed1-*"))
+        return float(open(d / "heldout.txt").readlines()[-1].split()[2])
+
+    a_one, a_mesh = last_avg("one"), last_avg("mesh")
+    assert np.isfinite(a_mesh)
+    assert abs(a_one - a_mesh) < 0.08, (a_one, a_mesh)
