@@ -601,3 +601,26 @@ def test_orig_logl_elbo_trace(tmp_path, assort_path):
     vals = [float(r[2]) for r in rows]
     assert all(np.isfinite(v) for v in vals)
     assert vals[-1] > vals[0]   # ascending objective
+
+
+def test_sbm_beats_reference_baseline(tmp_path, assort_path):
+    """Head-to-head SBM baseline (BASELINE.md, recorded round 4): the
+    rebuilt reference's -single collapses to one community and freezes
+    at heldout avg -0.7646 on assort-75-4 seed 1; ours must stay well
+    above that collapsed level and populate the planted blocks."""
+    from svinet_tpu.svi.sbm import SBM
+    cfg = Config(n=75, k=4, single=True, seed=1,
+                 outdir=str(tmp_path / "sbmb"), max_iterations=60,
+                 use_validation_stop=False, reportfreq=30)
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    eng = SBM(cfg, net)
+    eng.batch_infer()
+    last = open(cfg.file_str("heldout.txt")).readlines()[-1].split()
+    avg = float(last[2])
+    # reference collapse level is -0.7646; measured ours: -0.449
+    assert avg > -0.65, f"SBM heldout {avg} regressed toward the collapse"
+    phi = np.asarray(eng.phi)
+    counts = np.bincount(phi.argmax(1), minlength=4)
+    assert (counts > 5).sum() >= 3, counts
