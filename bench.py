@@ -23,7 +23,7 @@ BASELINE_EDGES_PER_SEC = 99 * 193031 / 77.0  # ~248k phi-updates(edges)/s
 
 
 def synth_main(n: int, k: int, n_edges: int, emit: bool = True,
-               fused: bool = False) -> dict:
+               fused: bool = False, bf16: bool = False) -> dict:
     """Stretch benchmark: synthetic MMSB-scale sweep (BASELINE.json's
     n=1M/k=500 config). Random planted edges; measures raw sweep
     throughput at a size no single 2013 CPU core could touch.
@@ -66,26 +66,28 @@ def synth_main(n: int, k: int, n_edges: int, emit: bool = True,
     if fused:
         mphi = jnp.zeros((n, k), jnp.float32)
         state = linksampling_fused_multi_sweep(
-            gamma, lam, mphi, e_d, m_d, d_d, consts, ann, nb, iters)
+            gamma, lam, mphi, e_d, m_d, d_d, consts, ann, nb, iters,
+            bf16)
         float(state[0][0, 0])   # true completion barrier (see main())
         t0 = time.perf_counter()
         state = linksampling_fused_multi_sweep(
-            *state, e_d, m_d, d_d, consts, ann, nb, iters)
+            *state, e_d, m_d, d_d, consts, ann, nb, iters, bf16)
         float(state[0][0, 0])
     else:
         gamma, lam = linksampling_sweep(gamma, lam, e_d, m_d, d_d,
-                                        consts, ann, nb)
+                                        consts, ann, nb, False, bf16)
         float(gamma[0, 0])
         t0 = time.perf_counter()
         for _ in range(iters):
             gamma, lam = linksampling_sweep(gamma, lam, e_d, m_d, d_d,
-                                            consts, ann, nb)
+                                            consts, ann, nb, False, bf16)
         float(gamma[0, 0])
     dt = time.perf_counter() - t0
     eps = iters * n_edges / dt
     rec = {
         "metric": (f"linksampling_edges_per_sec_synth_n{n}_k{k}"
-                   + ("_fused_s3" if fused else "")),
+                   + ("_fused_s3" if fused else "")
+                   + ("_bf16" if bf16 else "")),
         "value": round(eps, 1),
         "unit": "edges/sec",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 3),
@@ -193,6 +195,11 @@ def main() -> None:
                                    emit=False, fused=True)
     except Exception as e:
         stretch_fused = {"error": repr(e)}
+    try:
+        stretch_bf16 = synth_main(1_000_000, 500, 20_000_000,
+                                  emit=False, fused=True, bf16=True)
+    except Exception as e:
+        stretch_bf16 = {"error": repr(e)}
     print(json.dumps({
         "metric": "linksampling_edges_per_sec_ca-AstroPh_k20",
         "value": round(eps, 1),
@@ -201,6 +208,7 @@ def main() -> None:
         "fused_s3": fused_rec,
         "stretch": stretch,
         "stretch_fused_s3": stretch_fused,
+        "stretch_fused_s3_bf16": stretch_bf16,
         # completed END-TO-END n=1M/k=500 inference run (STRETCH.md;
         # tools/stretch_run.py --gen --run --score on the v5e, 2026-08-20):
         # real heldout eval + nshol stopping + sharded checkpoints, scored
@@ -222,6 +230,7 @@ if __name__ == "__main__":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
         k = int(sys.argv[3]) if len(sys.argv) > 3 else 500
         e = int(sys.argv[4]) if len(sys.argv) > 4 else 20_000_000
-        synth_main(n, k, e)
+        synth_main(n, k, e, fused="--fused" in sys.argv,
+                   bf16="--bf16" in sys.argv)
     else:
         main()
