@@ -223,7 +223,13 @@ def parse_args(argv: List[str]) -> Config:
             cfg.force_overwrite_dir = True
         elif a == "-no-force":
             cfg.force_overwrite_dir = False
-        elif a in ("-online", "-gp", "-bmark", "-adamic-adar"):
+        elif a == "-adamic-adar":
+            # score the Adamic-Adar link-prediction baseline over the
+            # precision sample and exit without inference (reference:
+            # src/fastamm2.cc:131-134; FastAMM's copy is behind an
+            # #ifdef PRECISION_SAMPLE that the shipped build omits)
+            cfg.adamic_adar = True
+        elif a in ("-online", "-gp", "-bmark"):
             pass  # accepted for compatibility
         elif a == "-nthreads":
             nxt()  # pthreads knob: N/A on TPU, accepted for compatibility

@@ -76,6 +76,8 @@ class Config:
     undirected: bool = True
     logl: bool = False
     accuracy: bool = False
+    adamic_adar: bool = False       # score the AA baseline and exit
+                                    # (reference: src/fastamm2.cc:131-134)
     nonuniform: bool = False
     strid: bool = False
     disjoint: bool = False

@@ -243,6 +243,10 @@ class FastAMM2(EngineBase):
     def infer(self) -> None:
         cfg = self.cfg
         self.log_adamic_adar_baseline()
+        if cfg.adamic_adar:
+            # -adamic-adar: baseline only, no inference (reference exits
+            # right after compute_adamic_adar_score, src/fastamm2.cc:131-134)
+            return
         r = max(cfg.reportfreq, 1)
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:

@@ -387,3 +387,22 @@ def test_no_force_refuses_existing_dir(tmp_path, assort_path, monkeypatch):
         main([*base, "-no-force"])
     # -no-force on a fresh dir is fine
     assert main([*base, "-no-force", "-label", "nf2"]) == 0
+
+
+def test_adamic_adar_baseline_only(tmp_path, assort_path, monkeypatch):
+    """-adamic-adar scores the AA link-prediction baseline over the
+    precision sample and exits WITHOUT running inference (reference:
+    src/fastamm2.cc:131-134 exits right after
+    compute_adamic_adar_score)."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["-file", assort_path, "-n", "75", "-k", "4",
+               "-stratified", "-rnode", "-adamic-adar",
+               "-label", "aa", "-seed", "1"])
+    assert rc == 0
+    rundir = _find_file(tmp_path, "adamic_adar.txt")
+    assert len(rundir) == 1
+    c10, c100, c1000 = open(rundir[0]).read().split()
+    assert 0 <= int(c10) <= 10 and int(c10) <= int(c100) <= int(c1000)
+    assert _find_file(tmp_path, "ad_hitcurve.txt")
+    # no inference ran: no model files, no heldout trace rows
+    assert not _find_file(tmp_path, "gamma.txt")
