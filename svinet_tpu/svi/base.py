@@ -163,6 +163,11 @@ class EngineBase:
         app = bool(getattr(cfg, "resume", False))
         self._vf = ReportFile(cfg.file_str("validation.txt"), append=app)
         self._hf = ReportFile(cfg.file_str("heldout.txt"), append=app)
+        # every reference engine opens logl.txt unconditionally (e.g.
+        # src/linksampling.cc:143) but only MMSBInfer/MMSBOrig ever write
+        # it (-logl); touch the empty file so output dirs are
+        # inventory-identical (engines with -logl reopen it themselves)
+        open(cfg.file_str("logl.txt"), "a" if app else "w").close()
         self._tf = (ReportFile(cfg.file_str("test.txt"), append=app)
                     if self.test_pairs is not None else None)
         self._mutual = None
