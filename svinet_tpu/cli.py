@@ -241,6 +241,14 @@ def parse_args(argv: List[str]) -> Config:
     # reference bumps rfreq to 100 in sampled modes unless given
     if not rfreq_set and (cfg.randomnode or cfg.randompair or cfg.stratified):
         cfg.reportfreq = 100
+    if cfg.adamic_adar and not (cfg.stratified and cfg.randomnode):
+        # same as the reference: env.adamic_adar is only consulted by
+        # FastAMM2 (src/fastamm2.cc:131-134; FastAMM's copy is compiled
+        # out), so under any other engine the flag does nothing — warn
+        # instead of silently running a full inference
+        print("+ -adamic-adar only applies with -stratified -rnode; "
+              "ignored for this engine (matching the reference)",
+              file=sys.stderr)
     if cfg.nonuniform and cfg.infthresh <= 0:
         print("+ -nonuniform requires -inf <threshold>; it is a no-op "
               "without one (matching the reference dispatch, "

@@ -109,6 +109,17 @@ class ReportFile:
         self._f.flush()
         return nshol
 
+    def write8(self, iteration: int, duration: int, res) -> None:
+        """8-column at-max validation row (the classic-SVI engines'
+        validation.txt entries, written only when a new heldout max is
+        reached: src/mmsbinfer.cc:2214-2217): iter, duration, avg, count,
+        avg0, count0, avg1, count1."""
+        self._f.write(
+            f"{iteration}\t{duration}\t{res.avg:.5f}\t{res.count}\t"
+            f"{res.avg0:.5f}\t{res.count0}\t{res.avg1:.5f}\t"
+            f"{res.count1}\n")
+        self._f.flush()
+
     def close(self) -> None:
         self._f.close()
 

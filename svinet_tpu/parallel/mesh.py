@@ -96,13 +96,18 @@ def make_sharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
     iteration; one host round trip per report interval)."""
 
     @functools.lru_cache(maxsize=None)
-    def build(n_sweeps: int):
+    def build(n_sweeps: int, bf16_on: bool):
         def _local(gamma, lam, edges, mask, deg, consts, annealing):
+            import jax.numpy as jnp
             from svinet_tpu.ops.expectations import dirichlet_expectation
 
             def body(_, state):
                 g, l = state
                 elogpi = dirichlet_expectation(g)
+                if bf16_on:
+                    # -bf16: half-width gathered rows, f32 accumulation
+                    # (same contract as the single-device sweep)
+                    elogpi = elogpi.astype(jnp.bfloat16)
                 elogbeta = dirichlet_expectation(l)
                 gacc, sumk = phi_pass(elogpi, elogbeta[:, 0], edges, mask,
                                       num_blocks_per_shard)
@@ -110,6 +115,8 @@ def make_sharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
                 sumk = jax.lax.psum(sumk, axis)
                 gnext, mphi, s1, s2, lam0 = mean_indicator_update(
                     gacc, sumk, deg, consts, annealing)
+                if bf16_on:
+                    mphi = mphi.astype(jnp.bfloat16)
                 s3 = jax.lax.psum(
                     s3_pass(mphi, edges, mask, num_blocks_per_shard), axis)
                 return gnext, finish_lambda(s1, s2, s3, lam0, consts)
@@ -125,9 +132,9 @@ def make_sharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
         return jax.jit(sharded, donate_argnums=(0, 1))
 
     def call(gamma, lam, edges, mask, deg, consts, annealing,
-             n_sweeps: int):
-        return build(int(n_sweeps))(gamma, lam, edges, mask, deg, consts,
-                                    annealing)
+             n_sweeps: int, bf16_now: bool = False):
+        return build(int(n_sweeps), bool(bf16_now))(
+            gamma, lam, edges, mask, deg, consts, annealing)
 
     return call
 
@@ -289,6 +296,50 @@ def init_distributed(coordinator: str = "", num_processes: int = 0,
                                    process_id=process_id)
 
 
+def sharded_nonuniform_weights(g, pairs, y, mask, infthresh: float,
+                               axis: str):
+    """Sharded form of svi/mmsb.py:nonuniform_weights (-nonuniform -inf,
+    reference: MMSBInfer::opt_nonuniform_process,
+    src/mmsbinfer.cc:1525-1700): category COUNTS (links / informative
+    zeros / non-informative zeros) are psum'd so every kept pair carries
+    the GLOBAL count weight, exactly as single-device. The per-sample
+    caps become per-shard: the single kept non-informative zero
+    (n2_max=1, src/mmsbinfer.cc:1571-1572) lives on shard 0, and the
+    0.1% informative-zero cap is taken of each shard's local count (the
+    caps sum to the global cap within rounding of the shard split).
+    Returns (weights, n_proc) with n_proc the GLOBAL processed-pair
+    count feeding the rnode scale 3n/(2 n_proc)
+    (src/mmsbinfer.cc:571-572); call only inside shard_map over `axis`."""
+    import jax.numpy as jnp
+    gp = g[pairs[:, 0]]
+    gq = g[pairs[:, 1]]
+    pip = gp / gp.sum(-1, keepdims=True)
+    piq = gq / gq.sum(-1, keepdims=True)
+    p_i = jnp.clip((pip * piq).sum(-1), 0.0, 1.0)
+    valid = mask > 0
+    is_link = (y == 1) & valid
+    noninf = (y == 0) & valid & (p_i < infthresh)
+    inf = (y == 0) & valid & (p_i >= infthresh)
+    f = g.dtype
+    nones = jax.lax.psum(is_link.sum(), axis)
+    nz_inf = jax.lax.psum(inf.sum(), axis)
+    nz_noninf = jax.lax.psum(noninf.sum(), axis)
+    n3_max_l = (0.001 * inf.sum()).astype(jnp.int32)
+    shard0 = jax.lax.axis_index(axis) == 0
+    sel_noninf = (noninf & shard0
+                  & (jnp.cumsum(noninf.astype(jnp.int32)) <= 1))
+    sel_inf = inf & (jnp.cumsum(inf.astype(jnp.int32)) <= n3_max_l)
+    w = (is_link.astype(f) * nones.astype(f)
+         + sel_noninf.astype(f) * nz_noninf.astype(f)
+         + sel_inf.astype(f) * nz_inf.astype(f))
+    # nones is already a global psum; only the per-shard selection
+    # counts still need reducing (a double psum here once inflated
+    # n_proc by n_devices x nones, shrinking the natural-gradient
+    # scale 3n/(2 n_proc) by ~n_devices when links dominate)
+    n_proc = nones + jax.lax.psum(sel_noninf.sum() + sel_inf.sum(), axis)
+    return w, n_proc
+
+
 def make_sharded_svi_multi_step(mesh: Mesh, num_blocks_per_shard: int,
                                 max_iters: int, thresh: float,
                                 infthresh: float = 0.0,
@@ -328,31 +379,9 @@ def make_sharded_svi_multi_step(mesh: Mesh, num_blocks_per_shard: int,
                 elogpi = dirichlet_expectation(g)
                 elogbeta = dirichlet_expectation(l)
                 if nonuniform and infthresh > 0.0:
-                    gp = g[pairs[:, 0]]
-                    gq = g[pairs[:, 1]]
-                    pip = gp / gp.sum(-1, keepdims=True)
-                    piq = gq / gq.sum(-1, keepdims=True)
-                    p_i = jnp.clip((pip * piq).sum(-1), 0.0, 1.0)
-                    valid = w > 0
-                    is_link = (y == 1) & valid
-                    noninf = (y == 0) & valid & (p_i < infthresh)
-                    inf = (y == 0) & valid & (p_i >= infthresh)
+                    w, n_proc = sharded_nonuniform_weights(
+                        g, pairs, y, w, infthresh, axis)
                     f = g.dtype
-                    nones = jax.lax.psum(is_link.sum(), axis)
-                    nz_inf = jax.lax.psum(inf.sum(), axis)
-                    nz_noninf = jax.lax.psum(noninf.sum(), axis)
-                    n3_max_l = (0.001 * inf.sum()).astype(jnp.int32)
-                    shard0 = jax.lax.axis_index(axis) == 0
-                    sel_noninf = (noninf & shard0
-                                  & (jnp.cumsum(noninf.astype(jnp.int32))
-                                     <= 1))
-                    sel_inf = inf & (jnp.cumsum(inf.astype(jnp.int32))
-                                     <= n3_max_l)
-                    w = (is_link.astype(f) * nones.astype(f)
-                         + sel_noninf.astype(f) * nz_noninf.astype(f)
-                         + sel_inf.astype(f) * nz_inf.astype(f))
-                    n_proc = jax.lax.psum(
-                        nones + sel_noninf.sum() + sel_inf.sum(), axis)
                     n = jnp.asarray(g.shape[0], f)
                     dev_scale = 3.0 * n / (2.0 * jnp.maximum(
                         n_proc, 1).astype(f))
@@ -489,14 +518,19 @@ def make_rowsharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
     Elogpi all_gathered per sweep, gacc reduce-scattered)."""
 
     @functools.lru_cache(maxsize=None)
-    def build(n_sweeps: int):
+    def build(n_sweeps: int, bf16_on: bool):
         def _local(gamma, lam, edges, mask, deg, consts, annealing):
+            import jax.numpy as jnp
             from svinet_tpu.ops.expectations import dirichlet_expectation
 
             def body(_, state):
                 g, l = state
-                elogpi = jax.lax.all_gather(dirichlet_expectation(g), axis,
-                                            tiled=True)
+                elogpi_l = dirichlet_expectation(g)
+                if bf16_on:
+                    # cast BEFORE the all_gather: halves collective bytes
+                    # too (same as the fused rowshard variant)
+                    elogpi_l = elogpi_l.astype(jnp.bfloat16)
+                elogpi = jax.lax.all_gather(elogpi_l, axis, tiled=True)
                 elogbeta = dirichlet_expectation(l)
                 gacc_full, sumk = phi_pass(elogpi, elogbeta[:, 0], edges,
                                            mask, num_blocks_per_shard)
@@ -507,6 +541,8 @@ def make_rowsharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
                     gacc, sumk, deg, consts, annealing)
                 s1 = jax.lax.psum(s1_l, axis)
                 s2 = jax.lax.psum(s2_l, axis)
+                if bf16_on:
+                    mphi_l = mphi_l.astype(jnp.bfloat16)
                 mphi = jax.lax.all_gather(mphi_l, axis, tiled=True)
                 s3 = jax.lax.psum(
                     s3_pass(mphi, edges, mask, num_blocks_per_shard), axis)
@@ -523,8 +559,8 @@ def make_rowsharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
         return jax.jit(sharded, donate_argnums=(0, 1))
 
     def call(gamma, lam, edges, mask, deg, consts, annealing,
-             n_sweeps: int):
-        return build(int(n_sweeps))(gamma, lam, edges, mask, deg, consts,
-                                    annealing)
+             n_sweeps: int, bf16_now: bool = False):
+        return build(int(n_sweeps), bool(bf16_now))(
+            gamma, lam, edges, mask, deg, consts, annealing)
 
     return call

@@ -261,12 +261,18 @@ class EngineBase:
         s = self.stopper
         return {"iteration": self.iteration,
                 "dur_offset": self.duration(),
+                # _max_v rides along: max.txt column 7 (validation avg at
+                # the best nshol) must survive a resume — max_h restores
+                # with the stopper, so no new max may ever fire again and
+                # the sentinel would otherwise leak into every max.txt row
+                "max_v": self._max_v,
                 "stopper": [s.prev_h, s.max_h, s.max_t, float(s.nh),
                             float(s.why), float(s.since_max)]}
 
     def _restore_host_state(self, state) -> None:
         self.iteration = int(state["iteration"])
         self._dur_offset = int(state.get("dur_offset", 0))
+        self._max_v = float(state.get("max_v", self._max_v))
         self._start = time.time()
         st = state.get("stopper")
         if st is not None:
@@ -275,6 +281,27 @@ class EngineBase:
                                             float(st[2]))
             s.nh, s.why, s.since_max = (int(st[3]), int(st[4]),
                                         int(st[5]))
+
+    def _stop_and_write_max(self, nshol: float, eval_fn):
+        """Shared at-max protocol of every reporting engine: update the
+        stopper with the heldout nshol; on a NEW heldout max under dual
+        splits, evaluate the independent validation split with eval_fn
+        and append its 8-column row to validation.txt (reference:
+        validation_likelihood at a new max, src/mmsbinfer.cc:2214-2217);
+        then rewrite max.txt (7-column with validation-at-max when dual,
+        src/mmsbinfer.cc:2165-2169). Returns the raw stop decision."""
+        prev_max = self.stopper.max_h
+        stop = self.stopper.update(self.iteration, nshol)
+        self._last_stop_raw = stop
+        if self._dual and self.stopper.max_h > prev_max:
+            vres = eval_fn(self.val_pairs, self.val_y)
+            self._max_v = vres.avg
+            self._vf.write8(self.iteration, self.duration(), vres)
+        write_max(self.cfg.file_str("max.txt"), self.iteration,
+                  self.duration(), nshol, self.stopper.max_t,
+                  self.stopper.max_h, self.stopper.why,
+                  max_v=self._max_v if self._dual else None)
+        return stop
 
     @staticmethod
     def _as_device(v):
@@ -451,24 +478,7 @@ class EngineBase:
             self._timef.write(f"{self.iteration}\t{self.duration()}\n")
             self._timef.flush()
 
-        prev_max = self.stopper.max_h
-        stop = self.stopper.update(self.iteration, nshol)
-        self._last_stop_raw = stop
-        if self._dual and self.stopper.max_h > prev_max:
-            # new best: evaluate the independent validation split and
-            # write its 8-column row (reference: validation_likelihood,
-            # src/mmsbinfer.cc:2214-2217; recorded as max.txt col 6)
-            vres = self._heldout(self.val_pairs, self.val_y)
-            self._max_v = vres.avg
-            self._vf._f.write(
-                f"{self.iteration}\t{self.duration()}\t{vres.avg:.5f}\t"
-                f"{vres.count}\t{vres.avg0:.5f}\t{vres.count0}\t"
-                f"{vres.avg1:.5f}\t{vres.count1}\n")
-            self._vf._f.flush()
-        write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
-                  nshol, self.stopper.max_t, self.stopper.max_h,
-                  self.stopper.why,
-                  max_v=self._max_v if self._dual else None)
+        stop = self._stop_and_write_max(nshol, self._heldout)
         # Per-report community extraction feeds the NMI trace (mutual.txt,
         # one entry per report in the reference's bundled runs); without
         # -nmi the reference only needs communities at stop, so huge runs

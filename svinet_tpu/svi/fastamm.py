@@ -170,7 +170,8 @@ class FastAMM(EngineBase):
         # cmap.txt: per-report mean/stdev of sampled neighborhood-set
         # sizes (reference: src/fastamm.cc:223-227, 636-640)
         self._nbr_sizes: list = []
-        self._cmapf = open(cfg.file_str("cmap.txt"), "w")
+        self._cmapf = open(cfg.file_str("cmap.txt"),
+                           "a" if cfg.resume else "w")
         # fixed padded batch size: max informative set or noninf set
         max_deg = int(network.training_deg.max()) if n else 0
         self._pad = 1 << int(np.ceil(np.log2(

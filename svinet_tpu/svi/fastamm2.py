@@ -62,7 +62,8 @@ class FastAMM2(EngineBase):
         self._shuffled = self.rng.permutation(n)
         self._lambda_start_iter = 0
         self._hitcurve_id = 0
-        self._pf = open(cfg.file_str("precision.txt"), "w")
+        self._pf = open(cfg.file_str("precision.txt"),
+                        "a" if cfg.resume else "w")
         self._block = 512
         max_deg = int(network.training_deg.max()) if n else 1
         setsize = max(1, n // M_SETS)

@@ -31,7 +31,7 @@ import numpy as np
 from svinet_tpu.config import Config
 from svinet_tpu.graph import Network
 from svinet_tpu.evals.likelihood import HeldoutResult
-from svinet_tpu.io.writers import write_communities, write_max
+from svinet_tpu.io.writers import write_communities
 from svinet_tpu.svi.base import EngineBase
 
 
@@ -232,21 +232,7 @@ class FastInit(EngineBase):
         if not self._dual:
             self._vf.write(self.iteration, self.duration(), res,
                            cfg.zeros_prob, cfg.ones_prob)
-        prev_max = self.stopper.max_h
-        stop = self.stopper.update(self.iteration, nshol)
-        self._last_stop_raw = stop
-        if self._dual and self.stopper.max_h > prev_max:
-            vres = self._sparse_res(self.val_pairs, self.val_y)
-            self._max_v = vres.avg
-            self._vf._f.write(
-                f"{self.iteration}\t{self.duration()}\t{vres.avg:.5f}\t"
-                f"{vres.count}\t{vres.avg0:.5f}\t{vres.count0}\t"
-                f"{vres.avg1:.5f}\t{vres.count1}\n")
-            self._vf._f.flush()
-        write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
-                  nshol, self.stopper.max_t, self.stopper.max_h,
-                  self.stopper.why,
-                  max_v=self._max_v if self._dual else None)
+        stop = self._stop_and_write_max(nshol, self._sparse_res)
         self.log_communities()
         self._end_of_report()   # SIGTERM save-and-continue + periodic ckpt
         return stop and cfg.use_validation_stop

@@ -598,7 +598,7 @@ class LinkSampling(EngineBase):
             else:
                 self.gamma, self.lam = self._mesh_sweep(
                     self.gamma, self.lam, self.edges, self.mask,
-                    self.deg, self.consts, ann, n_sweeps)
+                    self.deg, self.consts, ann, n_sweeps, bf)
             return
         if self.cfg.fuse_s3:
             # mphi carries across sweeps (zeros at init/resume: one

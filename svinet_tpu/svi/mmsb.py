@@ -282,8 +282,10 @@ class MMSBInfer(EngineBase):
                 self._mesh, self.gamma, self.lam, self.alpha, self.eta,
                 jnp.float32(self.log_eps))
             cfg.plog("mesh devices", nd)
-        self._lf = open(cfg.file_str("logl.txt"), "w") if cfg.logl else None
-        self._mf = open(cfg.file_str("modularity.txt"), "w")
+        # trace files keep pre-resume history like the other report files
+        _m = "a" if cfg.resume else "w"
+        self._lf = open(cfg.file_str("logl.txt"), _m) if cfg.logl else None
+        self._mf = open(cfg.file_str("modularity.txt"), _m)
         self._elbo_cache = None
         self._resume_if_requested()
 

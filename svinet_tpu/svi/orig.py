@@ -32,7 +32,7 @@ from svinet_tpu.graph import Network
 from svinet_tpu.ops.expectations import dirichlet_expectation, dirichlet_mean
 from svinet_tpu.ops.edges import pad_edges
 from svinet_tpu.evals.likelihood import HeldoutResult
-from svinet_tpu.io.writers import write_max, write_groups
+from svinet_tpu.io.writers import write_groups
 from svinet_tpu.svi.base import EngineBase
 
 
@@ -65,7 +65,7 @@ def _phi2_fixed_point(elogpi_p, elogpi_q, logf1, logf0, y, max_iters,
 
 
 @functools.partial(jax.jit, static_argnames=("num_blocks", "max_iters"))
-def orig_approx_elbo(gamma_new, gamma_old, beta, pairs, y, w,
+def orig_approx_elbo(gamma_new, gamma_old, beta_old, beta_new, pairs, y, w,
                      alpha, num_blocks: int, max_iters: int,
                      thresh: float = 1e-5):
     """Approximate ELBO of the full blockmodel (reference GLOBALPHIS
@@ -74,19 +74,22 @@ def orig_approx_elbo(gamma_new, gamma_old, beta, pairs, y, w,
     stores every pair's phi in an n x n x K D3 (mmsbinferorig.hh:92-101)
     purely to reuse them here; on TPU the store would be n^2 K floats,
     so the phis are RE-DERIVED per pair block from the same fixed point
-    they were solved with (gamma_old's expectations) — identical values,
-    no global store. Pair terms use the POST-update Elogpi exactly as
-    the reference (it calls approx_log_likelihood after set_dir_exp).
-    Each unordered pair counts twice (the reference loops ordered pairs;
-    beta is symmetric by the symmetrized M-step, so x2 is exact)."""
+    they were solved with — the E-step's expectations, i.e. gamma_old's
+    Elogpi and the PRE-M-step beta_old (src/mmsbinferorig.cc:238-242) —
+    identical values, no global store. The f cross-term and the pair
+    Elogpi terms use the POST-update beta_new/gamma_new exactly as the
+    reference (compute_f reads the updated _beta at
+    src/mmsbinferorig.cc:646, after set_dir_exp). Each unordered pair
+    counts twice (the reference loops ordered pairs; beta is symmetric
+    by the symmetrized M-step, so x2 is exact)."""
     from jax.scipy.special import gammaln
     n, k = gamma_new.shape
     elogpi_old = dirichlet_expectation(gamma_old)
     elogpi_new = dirichlet_expectation(gamma_new)
-    logf1 = jnp.log(jnp.maximum(beta, 1e-30))
-    logf0 = jnp.log(jnp.maximum(1.0 - beta, 1e-30))
-    lf1 = jnp.log(beta + 1e-10)              # reference: log(f + 1e-10)
-    lf0 = jnp.log(1.0 - beta + 1e-10)
+    logf1 = jnp.log(jnp.maximum(beta_old, 1e-30))
+    logf0 = jnp.log(jnp.maximum(1.0 - beta_old, 1e-30))
+    lf1 = jnp.log(beta_new + 1e-10)          # reference: log(f + 1e-10)
+    lf0 = jnp.log(1.0 - beta_new + 1e-10)
     p_blocks = pairs.reshape(num_blocks, -1, 2)
     y_blocks = y.reshape(num_blocks, -1)
     w_blocks = w.reshape(num_blocks, -1)
@@ -237,11 +240,7 @@ class MMSBOrig(EngineBase):
                                cfg.zeros_prob, cfg.ones_prob)
         self._hf.write(self.iteration, self.duration(), res,
                        cfg.zeros_prob, cfg.ones_prob)
-        stop = self.stopper.update(self.iteration, nshol)
-        self._last_stop_raw = stop
-        write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
-                  nshol, self.stopper.max_t, self.stopper.max_h,
-                  self.stopper.why)
+        stop = self._stop_and_write_max(nshol, None)
         self._end_of_report()   # SIGTERM save-and-continue + periodic ckpt
         return stop and cfg.use_validation_stop
 
@@ -254,6 +253,7 @@ class MMSBOrig(EngineBase):
                 self.do_on_stop()
                 return
             g_old = self.gamma if lf is not None else None
+            b_old = self.beta if lf is not None else None
             self.gamma, self.beta = orig_batch_step(
                 jnp.copy(self.gamma) if lf is not None else self.gamma,
                 self.beta, self.pairs, self.y, self.w,
@@ -261,13 +261,14 @@ class MMSBOrig(EngineBase):
                 max_iters=cfg.online_iterations,
                 thresh=cfg.meanchangethresh)
             self.iteration += 1
-            if lf is not None:
-                # -logl: the reference's GLOBALPHIS approx-ELBO trace
-                # (src/mmsbinferorig.cc:690-692); stopping stays on the
-                # heldout rule like the non-GLOBALPHIS build
+            if lf is not None and self.iteration % cfg.reportfreq == 0:
+                # -logl: the reference's GLOBALPHIS approx-ELBO trace,
+                # written at report boundaries only
+                # (src/mmsbinferorig.cc:286-292, 690-692); stopping stays
+                # on the heldout rule like the non-GLOBALPHIS build
                 s = float(orig_approx_elbo(
-                    self.gamma, g_old, self.beta, self.pairs, self.y,
-                    self.w, cfg.alpha, num_blocks=self.nb,
+                    self.gamma, g_old, b_old, self.beta, self.pairs,
+                    self.y, self.w, cfg.alpha, num_blocks=self.nb,
                     max_iters=cfg.online_iterations,
                     thresh=cfg.meanchangethresh))
                 lf.write(f"{self.iteration}\t{self.duration()}\t{s:.5f}\n")

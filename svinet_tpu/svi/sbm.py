@@ -43,7 +43,6 @@ from svinet_tpu.graph import Network
 from svinet_tpu.ops.expectations import dirichlet_expectation
 from svinet_tpu.ops.edges import pad_edges
 from svinet_tpu.evals.likelihood import HeldoutResult
-from svinet_tpu.io.writers import write_max
 from svinet_tpu.svi.base import EngineBase
 
 
@@ -290,11 +289,7 @@ class SBM(EngineBase):
                                cfg.zeros_prob, cfg.ones_prob)
         self._hf.write(self.iteration, self.duration(), res,
                        cfg.zeros_prob, cfg.ones_prob)
-        stop = self.stopper.update(self.iteration, nshol)
-        self._last_stop_raw = stop
-        write_max(cfg.file_str("max.txt"), self.iteration, self.duration(),
-                  nshol, self.stopper.max_t, self.stopper.max_h,
-                  self.stopper.why)
+        stop = self._stop_and_write_max(nshol, None)
         self._end_of_report()   # SIGTERM save-and-continue + periodic ckpt
         return stop and cfg.use_validation_stop
 

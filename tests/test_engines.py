@@ -585,12 +585,15 @@ def test_linksampling_single_split_unchanged(tmp_path, assort_path):
 def test_orig_logl_elbo_trace(tmp_path, assort_path):
     """-orig -logl: the GLOBALPHIS approx-ELBO trace (reference:
     src/mmsbinferorig.cc:624-698) without the n^2 K phi store — phis are
-    re-derived per block. The trace must be finite and improving over
-    the first iterations (batch VI ascends its objective)."""
+    re-derived per block — solved under the E-step's pre-M-step beta,
+    evaluated with the post-update beta/Elogpi, exactly like the stored
+    phis. Rows appear at report boundaries (src/mmsbinferorig.cc:286-292).
+    The trace must be finite and improving over the first iterations
+    (batch VI ascends its objective)."""
     from svinet_tpu.svi.orig import MMSBOrig
     cfg = Config(n=75, k=4, orig=True, logl=True, heldout_ratio=0.1,
                  seed=2, outdir=str(tmp_path / "ol"), max_iterations=6,
-                 use_validation_stop=False, reportfreq=6)
+                 use_validation_stop=False, reportfreq=1)
     cfg.resolve()
     net = Network(cfg)
     net.read(assort_path)

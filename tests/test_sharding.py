@@ -415,3 +415,105 @@ def test_cli_mesh_nonuniform_matches_single(tmp_path, monkeypatch):
     a_one, a_mesh = last_avg("one"), last_avg("mesh")
     assert np.isfinite(a_mesh)
     assert abs(a_one - a_mesh) < 0.08, (a_one, a_mesh)
+
+
+def test_sharded_nonuniform_weights_match_single_device():
+    """sharded_nonuniform_weights must reproduce nonuniform_weights'
+    GLOBAL category counts and processed-pair total: n_proc feeds the
+    natural-gradient scale 3n/(2 n_proc) (src/mmsbinfer.cc:571-572), so
+    a reduction bug there (e.g. double-psumming the global link count)
+    shrinks every update by ~n_devices. Pins weights mass and n_proc
+    exactly in the regime where the per-shard informative-zero caps are
+    all zero (total informative zeros < 1000 => global cap 0 too)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from svinet_tpu.parallel.mesh import make_mesh, sharded_nonuniform_weights
+    from svinet_tpu.svi.mmsb import nonuniform_weights
+
+    nd = 8
+    n, k, m = 64, 4, 16 * nd
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.gamma(1.0, 1.0, (n, k)).astype(np.float32))
+    pairs = rng.integers(0, n, (m, 2)).astype(np.int32)
+    pairs[:, 1] = (pairs[:, 0] + 1 + pairs[:, 1] % (n - 1)) % n
+    y = (rng.uniform(size=m) < 0.4).astype(np.int32)
+    mask = np.ones(m, np.float32)
+    mask[-5:] = 0.0   # padded tail
+    infthresh = float(np.median(np.asarray(
+        (g / g.sum(1, keepdims=True))[pairs[:, 0]]
+        * (g / g.sum(1, keepdims=True))[pairs[:, 1]]).sum(-1)))
+
+    w1, np1 = nonuniform_weights(g, jnp.asarray(pairs), jnp.asarray(y),
+                                 jnp.asarray(mask), infthresh)
+
+    mesh = make_mesh(nd)
+    f = shard_map(
+        lambda gg, pp, yy, mm: sharded_nonuniform_weights(
+            gg, pp, yy, mm, infthresh, "edges"),
+        mesh=mesh,
+        in_specs=(P(), P("edges"), P("edges"), P("edges")),
+        out_specs=(P("edges"), P()),
+    )
+    w8, np8 = f(g, jnp.asarray(pairs), jnp.asarray(y), jnp.asarray(mask))
+
+    # global processed count identical (links + the 1 kept noninf zero;
+    # informative-zero caps are 0 in this regime on both sides)
+    assert int(np8) == int(np1), (int(np8), int(np1))
+    # same per-category weight VALUES and total mass; only the position
+    # of the single kept non-informative zero may differ (shard 0)
+    np.testing.assert_allclose(float(jnp.sum(w8)), float(jnp.sum(w1)),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.unique(np.asarray(w8)),
+                                  np.unique(np.asarray(w1)))
+
+
+def test_sharded_bf16_sweeps_match_single_device():
+    """-bf16 under -mesh (round 4: previously the unfused mesh sweeps
+    silently ignored the flag while param.txt claimed it was on): both
+    unfused mesh builders must honor bf16_now and match the
+    single-device bf16 sweep within bf16 rounding of the psum order."""
+    from svinet_tpu.parallel.mesh import (
+        make_sharded_multi_sweep, make_rowsharded_multi_sweep, global_put)
+    from svinet_tpu.svi.linksampling import linksampling_multi_sweep
+
+    n, k = 64, 4
+    edges = _toy_graph(60, k)
+    deg = np.zeros(n, np.int32)
+    np.add.at(deg, edges[:, 0], 1)
+    np.add.at(deg, edges[:, 1], 1)
+    rng = np.random.default_rng(1)
+    gamma0 = init_gamma_from_links(rng, edges, n, k, 1.0 / k)
+    lam0 = np.tile([1.0, 1.0], (k, 1))
+    consts = LSConsts(alpha=jnp.float32(1.0 / k),
+                      eta=jnp.asarray([1.0, 1.0], jnp.float32),
+                      ones=jnp.float32(len(edges)),
+                      n_nodes=jnp.float32(n))
+
+    e1, m1 = pad_edges(edges, 64)
+    g1, l1 = linksampling_multi_sweep(
+        jnp.asarray(gamma0, jnp.float32), jnp.asarray(lam0, jnp.float32),
+        jnp.asarray(e1), jnp.asarray(m1), jnp.asarray(deg, jnp.float32),
+        consts, jnp.float32(1.0), e1.shape[0] // 64, 3, False, True)
+
+    mesh = make_mesh(8)
+    es, ms = shard_edges(edges, 8, 64)
+    es_d, ms_d = device_put_sharded_edges(mesh, es, ms)
+    sweep = make_sharded_multi_sweep(mesh, es.shape[0] // 8 // 64)
+    g8, l8 = sweep(jnp.asarray(gamma0, jnp.float32),
+                   jnp.asarray(lam0, jnp.float32), es_d, ms_d,
+                   jnp.asarray(deg, jnp.float32), consts,
+                   jnp.float32(1.0), 3, True)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(l8), np.asarray(l1),
+                               rtol=2e-2, atol=2e-1)
+
+    rsweep = make_rowsharded_multi_sweep(mesh, es.shape[0] // 8 // 64)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    row = NamedSharding(mesh, P("edges"))
+    g_rs = global_put(np.asarray(gamma0, np.float32), row)
+    deg_rs = global_put(np.asarray(deg, np.float32), row)
+    gr, lr = rsweep(g_rs, jnp.asarray(lam0, jnp.float32), es_d, ms_d,
+                    deg_rs, consts, jnp.float32(1.0), 3, True)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(g8),
+                               rtol=2e-2, atol=2e-2)
