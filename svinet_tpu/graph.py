@@ -216,6 +216,14 @@ class Network:
         self.deg = self.deg[:n_used]
         self.row_ptr = self.row_ptr[: n_used + 1]
         self.singles = 0
+        # pair keys are lo*n + hi: every cached key set must be rebuilt
+        # under the shrunk n or y()/edge_ok/sample lookups compare keys
+        # from two different bases and mislabel real links as nonlinks
+        self._edge_keys = np.sort(
+            _pair_key(self.edges[:, 0].astype(np.int64),
+                      self.edges[:, 1].astype(np.int64), self.n))
+        assert not hasattr(self, "_held_keys_sorted"), \
+            "drop_singles must run before heldout splits are assigned"
 
     # ------------------------------------------------------------------
     def y(self, p: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -229,22 +237,38 @@ class Network:
         return (self._edge_keys[idx] == keys).astype(np.int8)
 
     # ------------------------------------------------------------------
+    def _resolve_ext_id(self, tok: str):
+        """External-id token -> seq id, honoring -strid (string ids map
+        through str_ids; otherwise int ids through id2seq). Returns None
+        for ids absent from the network."""
+        if self.cfg.strid and self.str_ids:
+            if not hasattr(self, "_str2seq"):
+                self._str2seq = {s: i for i, s in enumerate(self.str_ids)}
+            seq = self._str2seq.get(tok)
+            if seq is not None:
+                return seq
+        try:
+            return self.id2seq.get(int(tok))
+        except ValueError:
+            return None
+
     def load_ground_truth(self, path: str) -> None:
         """Load ground-truth communities (reference: src/network.cc:253-438).
 
         Format: ``node_id<TAB>comm1 comm2 ...`` — one node per line.
-        Stored as a list of per-community seq-id arrays.
-        """
+        Stored as a list of per-community seq-id arrays. With -strid the
+        node column may use the graph's string ids (an extension: the
+        reference's loader is %d-only, src/network.cc:276, and asserts
+        out on any unknown id)."""
         comms: Dict[int, List[int]] = {}
         with open(path) as f:
             for line in f:
                 toks = line.split()
                 if len(toks) < 2:
                     continue
-                node = int(toks[0])
-                if node not in self.id2seq:
+                seq = self._resolve_ext_id(toks[0])
+                if seq is None:
                     continue
-                seq = self.id2seq[node]
                 for c in toks[1:]:
                     comms.setdefault(int(c), []).append(seq)
         self.ground_truth = [np.array(sorted(v), np.int64)
@@ -298,9 +322,9 @@ class Network:
                 if not toks:
                     continue
                 for t in toks:
-                    node = int(t)
-                    if node in self.id2seq:
-                        members[self.id2seq[node]].append(cid)
+                    seq = self._resolve_ext_id(t)
+                    if seq is not None:
+                        members[seq].append(cid)
                 cid += 1
         self.init_communities_seq = members
 
@@ -365,11 +389,19 @@ class Network:
             self.heldout_pairs, self.heldout_y = self._sample_split(
                 rng, half, half, exclude_keys=vkeys)
         if cfg.create_test_precision_sets:
-            # precision split holds out s1 links (NOT s1/2; reference:
-            # set_precision_uniform_sample, src/linksampling.cc:311-330)
+            # precision split holds out s1 links and
+            # (total_pairs - ones) * heldout_ratio nonlinks (reference:
+            # set_precision_uniform_sample, src/linksampling.cc:311-330).
+            # The nonlink count follows the reference exactly up to an
+            # absolute 5M guard (the quadratic total_pairs term asks for
+            # ~5e9 pairs at n=1M — unusable on either implementation)
             zeros = int((self.total_pairs - self.ones) * cfg.heldout_ratio)
+            cap = 5_000_000
+            if zeros > cap:
+                print(f"+ precision nonlink sample capped at {cap} "
+                      f"(reference formula asks for {zeros})")
             self.precision_pairs, self.precision_y = self._sample_split(
-                rng, max(s1, 1), min(zeros, 50 * max(s1, 1)))
+                rng, max(s1, 1), min(zeros, cap))
         self.assign_training_links()
 
     def _sample_split(self, rng: np.random.Generator, n_links: int,
@@ -576,12 +608,3 @@ class Network:
         return self.sparse_zeros_idx[
             self.sparse_zeros_ptr[i]: self.sparse_zeros_ptr[i + 1]]
 
-    def heldout_keys(self) -> np.ndarray:
-        """Sorted int64 keys of every heldout pair (for edge_ok tests on device,
-        reference: LinkSampling::edge_ok, src/linksampling.hh:294-326)."""
-        held = [self.validation_pairs, self.heldout_pairs,
-                self.test_pairs, self.precision_pairs]
-        keys = np.concatenate(
-            [_pair_key(h[:, 0].astype(np.int64), h[:, 1].astype(np.int64), self.n)
-             for h in held if len(h)] or [np.zeros(0, np.int64)])
-        return np.sort(keys)

@@ -37,6 +37,14 @@ class EngineBase:
     # LinkSampling's reference uses a single split (linksampling.cc:170-179).
     dual_heldout_splits = False
 
+    # Stopping-controller parameters (see evals/stopping.py for the per-
+    # engine reference cites). Default = the classic-SVI controller:
+    # guard iter > min(n, 5000), plateau why=0, stop after >2 declines.
+    # stop_min_iter None means min(n, 5000).
+    stop_min_iter: "int | None" = None
+    stop_plateau_why = 0
+    stop_decline_reports = 2
+
     # Checkpoints store the NEXT iteration to run. At a report boundary the
     # minibatch engines (MMSB/FastAMM/FastAMM2/SBM/...) have already
     # incremented: their loops resume stepping FROM self.iteration, so the
@@ -158,7 +166,12 @@ class EngineBase:
 
         self.iteration = 0
         self.terminate_requested = False   # set by the SIGTERM handler
-        self.stopper = ValidationStop(stopthresh=cfg.stopthresh)
+        self.stopper = ValidationStop(
+            stopthresh=cfg.stopthresh,
+            min_iter=(min(self.n, 5000) if self.stop_min_iter is None
+                      else self.stop_min_iter),
+            plateau_why=self.stop_plateau_why,
+            decline_reports=self.stop_decline_reports)
         # on -resume keep the previously written metric history
         app = bool(getattr(cfg, "resume", False))
         self._vf = ReportFile(cfg.file_str("validation.txt"), append=app)

@@ -153,6 +153,8 @@ class FastInit(EngineBase):
     """Host driver for -findk."""
 
     dual_heldout_splits = True   # src/fastinit.cc (init_heldout)
+    stop_min_iter = 0            # no guard (src/fastinit.cc:548-560)
+    stop_decline_reports = 10    # nh > 10 (src/fastinit.cc:560)
 
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):

@@ -50,16 +50,20 @@ from svinet_tpu.io.writers import load_model
 
 def _sweep_body(gamma, lam, edges, mask, deg, consts: LSConsts,
                 annealing, num_blocks: int, freeze: bool = False,
-                bf16: bool = False):
+                bf16: bool = False, conv=None):
     # Converged-node freezing (reference fast path,
     # src/linksampling.cc:618-631): implemented via the `conv` argument of
-    # phi_pass/s3_pass (see converged_of). Measured on the v5e it makes
-    # the sweep ~2x slower (two extra int row-gathers per edge at the
-    # gather-rate bound) and slightly worsens ca-AstroPh heldout nshol
-    # (-0.0099 vs -0.0088), so it is OFF by default — but it is the
-    # reference's consolidation force when K overshoots the true
-    # community count (K=20 on assort-75-4: 4 populated communities with
-    # freezing vs ~11 without), exposed as `-freeze`.
+    # phi_pass/s3_pass — STICKY flags carried by the engine/loops
+    # (converged_of(prev=...), matching the reference's never-cleared
+    # _converged). Measured on the v5e it makes the sweep ~2x slower
+    # (two extra int row-gathers per edge at the gather-rate bound) and
+    # slightly worsens ca-AstroPh heldout nshol (-0.0099 vs -0.0088), so
+    # it is OFF by default. Engagement requires nodes to genuinely reach
+    # ONE active column: on assort-75-4 that happens at K=4 (~30/75
+    # nodes frozen by iter 40, test_freeze_sticky_never_thaws) but NOT
+    # at K=20, where nodes keep ~3 active columns indefinitely — at
+    # overshot K the consolidation force is `-prune`/annealing, not
+    # freezing. Exposed as `-freeze`.
     elogpi = dirichlet_expectation(gamma)
     if bf16:
         # -bf16: store the gathered rows half-width; phi_pass casts back
@@ -67,7 +71,8 @@ def _sweep_body(gamma, lam, edges, mask, deg, consts: LSConsts,
         # measured 1.23x on the gather-bound term, README Roofline)
         elogpi = elogpi.astype(jnp.bfloat16)
     elogbeta = dirichlet_expectation(lam)
-    conv = converged_of(gamma, consts.alpha) if freeze else None
+    if freeze and conv is None:
+        conv = converged_of(gamma, consts.alpha)
     gacc, sumk = phi_pass(elogpi, elogbeta[:, 0], edges, mask, num_blocks,
                           conv)
     gnext, mphi, s1, s2, lam0 = mean_indicator_update(
@@ -81,14 +86,16 @@ def _sweep_body(gamma, lam, edges, mask, deg, consts: LSConsts,
                    static_argnames=("num_blocks", "freeze", "bf16"))
 def linksampling_sweep(gamma, lam, edges, mask, deg, consts: LSConsts,
                        annealing, num_blocks: int, freeze: bool = False,
-                       bf16: bool = False):
+                       bf16: bool = False, conv=None):
     """One full sweep over the training links. Pure function of the state.
 
     edges: (Ep,2) int32 padded; mask: (Ep,) f32; deg: (n,) f32 training degree.
     annealing: f32 scalar in {0,1}.
+    conv: optional (n,) int32 sticky converged flags (-freeze; the engine
+    owns the sticky update between calls, see LinkSampling._sticky_conv).
     """
     return _sweep_body(gamma, lam, edges, mask, deg, consts, annealing,
-                       num_blocks, freeze, bf16)
+                       num_blocks, freeze, bf16, conv)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
@@ -97,19 +104,29 @@ def linksampling_sweep(gamma, lam, edges, mask, deg, consts: LSConsts,
 def linksampling_multi_sweep(gamma, lam, edges, mask, deg,
                              consts: LSConsts, annealing,
                              num_blocks: int, n_sweeps: int,
-                             freeze: bool = False, bf16: bool = False):
+                             freeze: bool = False, bf16: bool = False,
+                             conv=None):
     """n_sweeps full sweeps fused into ONE device program.
 
     Between report boundaries nothing on the host needs the intermediate
     state, so the sweeps run back-to-back on device — one host round trip
     per report interval instead of per sweep. Through a remote-TPU tunnel
     (per-call latency ~8 ms) this multiplies end-to-end throughput by
-    roughly the report frequency."""
+    roughly the report frequency.
+
+    With -freeze, conv carries the STICKY converged flags through the
+    loop (reference: _converged assigned by prune() after each sweep and
+    never cleared, src/linksampling.cc:472-473); returns (g, l, conv)
+    when conv is given, (g, l) otherwise."""
     def body(_, state):
-        g, l = state
-        return _sweep_body(g, l, edges, mask, deg, consts, annealing,
-                           num_blocks, freeze, bf16)
-    return jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
+        g, l, cv = state
+        gn, ln = _sweep_body(g, l, edges, mask, deg, consts, annealing,
+                             num_blocks, freeze, bf16, cv)
+        cvn = (converged_of(gn, consts.alpha, cv)
+               if freeze and cv is not None else cv)
+        return gn, ln, cvn
+    g, l, cv = jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam, conv))
+    return (g, l) if conv is None else (g, l, cv)
 
 
 def _fused_sweep_body(gamma, lam, mphi, edges, mask, deg,
@@ -179,18 +196,22 @@ def linksampling_multi_sweep_ho(gamma, lam, edges, mask, deg,
                                 ho_pairs, ho_y, ho_w, eps,
                                 num_blocks: int, n_sweeps: int,
                                 ho_blocks: int, freeze: bool = False,
-                                bf16: bool = False):
-    """Unfused multi-sweep with the heldout-sums tail (see above)."""
+                                bf16: bool = False, conv=None):
+    """Unfused multi-sweep with the heldout-sums tail (see above).
+    Returns (g, l, sums) — plus the sticky conv flags when given."""
     from svinet_tpu.evals.likelihood import heldout_sums_blocked
 
     def body(_, state):
-        g, l = state
-        return _sweep_body(g, l, edges, mask, deg, consts, annealing,
-                           num_blocks, freeze, bf16)
-    g, l = jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
+        g, l, cv = state
+        gn, ln = _sweep_body(g, l, edges, mask, deg, consts, annealing,
+                             num_blocks, freeze, bf16, cv)
+        cvn = (converged_of(gn, consts.alpha, cv)
+               if freeze and cv is not None else cv)
+        return gn, ln, cvn
+    g, l, cv = jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam, conv))
     sums = heldout_sums_blocked(g, l, ho_pairs, ho_y, ho_w, eps,
                                 ho_blocks)
-    return g, l, sums
+    return (g, l, sums) if conv is None else (g, l, sums, cv)
 
 
 @jax.jit
@@ -247,14 +268,19 @@ def expand_columns(gamma_c, lam_c, idx, alpha, eta, k: int):
 def linksampling_compact_multi_sweep(gamma_c, lam_c, edges, mask, deg,
                                      consts: LSConsts, rest, colmask,
                                      num_blocks: int, n_sweeps: int,
-                                     freeze: bool = False):
+                                     freeze: bool = False, conv=None):
     from svinet_tpu.svi.sweep_math import compact_sweep_body
 
     def body(_, state):
-        g, l = state
-        return compact_sweep_body(g, l, edges, mask, deg, consts, rest,
-                                  colmask, num_blocks, freeze)
-    return jax.lax.fori_loop(0, n_sweeps, body, (gamma_c, lam_c))
+        g, l, cv = state
+        gn, ln = compact_sweep_body(g, l, edges, mask, deg, consts, rest,
+                                    colmask, num_blocks, freeze, cv)
+        cvn = (converged_of(gn, consts.alpha, cv)
+               if freeze and cv is not None else cv)
+        return gn, ln, cvn
+    g, l, cv = jax.lax.fori_loop(0, n_sweeps, body,
+                                 (gamma_c, lam_c, conv))
+    return (g, l) if conv is None else (g, l, cv)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
@@ -335,6 +361,8 @@ class LinkSampling(EngineBase):
     output, stopping, and community logging live in EngineBase."""
 
     writes_own_timefile = True   # per-chunk rows in _infer_loop
+    stop_min_iter = 10           # guard iter > 10 (src/linksampling.cc:1008)
+    stop_plateau_why = 100       # (src/linksampling.cc:1013)
     # the annealing decision runs AFTER super().report(); defer the
     # periodic-checkpoint/SIGTERM hooks to the end of OUR report() so a
     # checkpoint never snapshots a mid-report state (stopper updated,
@@ -394,11 +422,19 @@ class LinkSampling(EngineBase):
         self.annealing = True
         self._compact = None     # active-K compaction state (-prune)
         self._ce_cache = (self.edges, self.mask)  # reuse for communities
+        # -freeze: STICKY per-node converged flags, carried through every
+        # sweep (reference: _converged assigned by prune() and never
+        # cleared, src/linksampling.cc:472-473); 0 = free, else column+1
+        self._conv = (jnp.zeros(n, jnp.int32)
+                      if cfg.freeze_converged else None)
 
         if cfg.fuse_s3 and cfg.freeze_converged:
             print("+ -fuse-s3 has no converged-freezing fast path; "
                   "running unfused to honor -freeze")
             cfg.fuse_s3 = False
+        if cfg.freeze_converged and cfg.mesh_devices > 1:
+            raise SystemExit("-freeze is not supported under -mesh; "
+                             "drop one of the flags")
         if cfg.fuse_s3:
             cfg.plog("fuse s3", True)
         if cfg.bf16_rows:
@@ -544,6 +580,8 @@ class LinkSampling(EngineBase):
             m = getattr(self, "mphi", None)
             d["mphi"] = (m if m is not None
                          else jnp.zeros((self.n, self.k), jnp.float32))
+        if self._conv is not None:
+            d["conv"] = self._conv   # -freeze sticky flags survive resume
         return d
 
     def _restore_state(self, state) -> None:
@@ -555,6 +593,9 @@ class LinkSampling(EngineBase):
         m = state.get("mphi")
         if m is not None:
             self.mphi = (m if isinstance(m, jax.Array) else jnp.asarray(m))
+        cv = state.get("conv")
+        if cv is not None and self.cfg.freeze_converged:
+            self._conv = jnp.asarray(cv, jnp.int32)
 
     def _ckpt_shardings(self):
         """Under -mesh, restore gamma/lam straight onto the mesh layout
@@ -578,11 +619,16 @@ class LinkSampling(EngineBase):
                     self.mask, self.deg, self.consts, c["rest"],
                     c["colmask"], self.num_blocks, n_sweeps)
             else:
-                self.gamma, self.lam = linksampling_compact_multi_sweep(
+                fz = bool(self.cfg.freeze_converged)
+                out = linksampling_compact_multi_sweep(
                     self.gamma, self.lam, self.edges, self.mask,
                     self.deg, self.consts, c["rest"], c["colmask"],
-                    self.num_blocks, n_sweeps,
-                    bool(self.cfg.freeze_converged))
+                    self.num_blocks, n_sweeps, fz,
+                    self._conv if fz else None)
+                if fz:
+                    self.gamma, self.lam, self._conv = out
+                else:
+                    self.gamma, self.lam = out
             return
         # -bf16 engages only AFTER annealing: the anneal-exit plateau
         # detector needs the f32-resolution nshol trace (measured: bf16
@@ -621,21 +667,30 @@ class LinkSampling(EngineBase):
                     self.num_blocks, n_sweeps, bf)
             return
         fz = bool(self.cfg.freeze_converged)
+        cv = self._conv if fz else None
         if self._ho_dev is not None:
             hp, hy, hw, nb = self._ho_dev
-            self.gamma, self.lam, self._ho_res = linksampling_multi_sweep_ho(
+            out = linksampling_multi_sweep_ho(
                 self.gamma, self.lam, self.edges, self.mask, self.deg,
                 self.consts, ann, hp, hy, hw,
                 jnp.float32(self.cfg.epsilon), self.num_blocks, n_sweeps,
-                nb, fz, bf)
-        elif n_sweeps == 1:
+                nb, fz, bf, cv)
+            if fz:
+                self.gamma, self.lam, self._ho_res, self._conv = out
+            else:
+                self.gamma, self.lam, self._ho_res = out
+        elif n_sweeps == 1 and not fz:
             self.gamma, self.lam = linksampling_sweep(
                 self.gamma, self.lam, self.edges, self.mask, self.deg,
-                self.consts, ann, self.num_blocks, fz, bf)
+                self.consts, ann, self.num_blocks, False, bf)
         else:
-            self.gamma, self.lam = linksampling_multi_sweep(
+            out = linksampling_multi_sweep(
                 self.gamma, self.lam, self.edges, self.mask, self.deg,
-                self.consts, ann, self.num_blocks, n_sweeps, fz, bf)
+                self.consts, ann, self.num_blocks, n_sweeps, fz, bf, cv)
+            if fz:
+                self.gamma, self.lam, self._conv = out
+            else:
+                self.gamma, self.lam = out
 
     # ------------------------------------------------------------------
     def _expand_if_compacted(self) -> None:
@@ -650,6 +705,14 @@ class LinkSampling(EngineBase):
         if self.cfg.fuse_s3 and getattr(self, "mphi", None) is not None:
             self.mphi = jnp.zeros((self.n, self.k), jnp.float32).at[
                 :, c["idx"]].set(self.mphi, mode="drop")
+        if self._conv is not None:
+            # sticky flags back to FULL column ids: compacted flag c>0
+            # refers to compacted column c-1 = full column idx[c-1]
+            cv = self._conv
+            full_col = jnp.take(c["idx"], jnp.maximum(cv - 1, 0),
+                                mode="clip")
+            self._conv = jnp.where(cv > 0, full_col + 1, 0).astype(
+                jnp.int32)
         self._compact = None
 
     def _maybe_compact(self) -> None:
@@ -687,9 +750,28 @@ class LinkSampling(EngineBase):
             self.mphi = jnp.where(
                 colmask[None, :] > 0,
                 jnp.take(m, idx_d, axis=1, mode="clip"), 0.0)
+        # rest counts the columns NOT represented in gamma_c: the
+        # (kpad - ka) pad slots already sit inside gamma_c at alpha, so
+        # the scalar covers K - kpad columns, not K - ka (counting the
+        # pads twice biases the digamma normalizer; the bias is a per-row
+        # constant that cancels in the phi softmax, but the Elogpi values
+        # themselves would be wrong for any non-softmax consumer)
         self._compact = {"idx": idx_d, "colmask": colmask,
-                         "rest": jnp.float32((self.k - ka) * cfg.alpha),
+                         "rest": jnp.float32((self.k - kpad) * cfg.alpha),
                          "kpad": kpad, "ka": ka}
+        if self._conv is not None:
+            # sticky flags into COMPACTED column ids (a frozen node's
+            # column always stays active — it keeps receiving the hard
+            # +1 — so every flagged column is in idx; 0 if not, for
+            # safety)
+            inv = np.zeros(self.k + 1, np.int32)      # full col -> c+1
+            inv[idx[:ka]] = np.arange(1, ka + 1, dtype=np.int32)
+            cv = self._conv
+            inv_d = jnp.asarray(inv)
+            self._conv = jnp.where(
+                cv > 0,
+                jnp.take(inv_d, jnp.maximum(cv - 1, 0), mode="clip"),
+                0).astype(jnp.int32)
         self.log("prune: %d/%d active communities, sweeping at width %d",
                  ka, self.k, kpad)
 

@@ -175,7 +175,13 @@ def orig_edge_loglik(gamma, beta, pairs, y):
 
 
 class MMSBOrig(EngineBase):
-    """Host driver for -orig."""
+    """Host driver for -orig.
+
+    The stock reference build has NO stopping rule here (its heldout
+    controller is compiled out under `#if 0`, src/mmsbinferorig.cc:499-522;
+    only the GLOBALPHIS ELBO-decline stop exists, src/mmsbinferorig.cc:713-718)
+    — it runs until killed. This engine keeps the classic heldout
+    controller (guard iter > min(n, 5000)) as a strict improvement."""
 
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):

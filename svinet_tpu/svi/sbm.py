@@ -204,6 +204,9 @@ def sbm_edge_loglik(phi, lam, pairs, y):
 class SBM(EngineBase):
     """Host driver for -single."""
 
+    stop_min_iter = 5000         # guard iter > 5000 (src/sbm.cc:895)
+    stop_decline_reports = 3     # nh > 3 (src/sbm.cc:907)
+
     def __init__(self, cfg: Config, network: Network,
                  rng: Optional[np.random.Generator] = None):
         super().__init__(cfg, network, rng)

@@ -27,15 +27,20 @@ class LSConsts(NamedTuple):
     n_nodes: jax.Array     # scalar: n (float)
 
 
-def converged_of(gamma, alpha) -> jax.Array:
+def converged_of(gamma, alpha, prev=None) -> jax.Array:
     """Per-node convergence flag: a node with EXACTLY one community where
     gamma - alpha >= 1 is frozen to it (reference: check_and_set_converged,
     src/linksampling.cc:456-475). Returns int32 (n,): 0 = not converged,
-    else community index + 1."""
+    else community index + 1. The reference's _converged is STICKY —
+    assigned when active_comms == 1 and never cleared (only updated by a
+    later count==1 state) — so pass the previous flags as `prev` to keep
+    already-frozen nodes frozen when a second column later crosses the
+    threshold."""
     active = gamma - alpha >= 1.0
     count = active.sum(axis=-1)
     kidx = jnp.argmax(active, axis=-1).astype(jnp.int32)
-    return jnp.where(count == 1, kidx + 1, 0)
+    fresh = jnp.where(count == 1, kidx + 1, 0)
+    return fresh if prev is None else jnp.where(count == 1, fresh, prev)
 
 
 def phi_pass(elogpi, elb0, edges, mask, num_blocks: int, conv=None
@@ -197,18 +202,19 @@ def fused_phi_s3_pass(packed, elb0, edges, mask, num_blocks: int
 def compact_elogpi(gamma_c, rest) -> jax.Array:
     """Dirichlet expectation for COLUMN-COMPACTED gamma (-prune): the
     normalizer psi(sum_k gamma_nk) must span all K columns, so the
-    dropped (inactive) columns' mass enters as the scalar
-    rest = (K - K_active) * alpha — exact, because a pruned sweep leaves
-    every inactive column at alpha (the reference's active-k path never
-    adds phi outside the active union and gammanext is re-initialized to
-    alpha, src/linksampling.cc:634-664, 448-450)."""
+    columns not represented in gamma_c enter as the scalar
+    rest = (K - K_pad) * alpha (the pad slots inside gamma_c already sit
+    at alpha) — exact, because a pruned sweep leaves every inactive
+    column at alpha (the reference's active-k path never adds phi
+    outside the active union and gammanext is re-initialized to alpha,
+    src/linksampling.cc:634-664, 448-450)."""
     return jax.scipy.special.digamma(gamma_c) - jax.scipy.special.digamma(
         gamma_c.sum(axis=-1, keepdims=True) + rest)
 
 
 def compact_sweep_body(gamma_c, lam_c, edges, mask, deg, consts: LSConsts,
                        rest, colmask, num_blocks: int,
-                       freeze: bool = False):
+                       freeze: bool = False, conv=None):
     """One pruned sweep at the compacted width K_pad (TPU form of the
     reference's active-k pruning, src/linksampling.cc:634-664): identical
     math to _sweep_body restricted to the active columns. Padded columns
@@ -222,7 +228,8 @@ def compact_sweep_body(gamma_c, lam_c, edges, mask, deg, consts: LSConsts,
     elogpi = compact_elogpi(gamma_c, rest)
     elogbeta = dirichlet_expectation(lam_c)
     elb0 = jnp.where(colmask > 0, elogbeta[:, 0], -1e30)
-    conv = converged_of(gamma_c, consts.alpha) if freeze else None
+    if freeze and conv is None:
+        conv = converged_of(gamma_c, consts.alpha)
     gacc, sumk = phi_pass(elogpi, elb0, edges, mask, num_blocks, conv)
     gnext, mphi, s1, s2, lam0 = mean_indicator_update(
         gacc, sumk, deg, consts, jnp.float32(0.0))

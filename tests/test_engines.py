@@ -530,10 +530,12 @@ def test_dual_heldout_validation_splits(tmp_path, assort_path):
     drives the stopping rule + heldout.txt; validation is evaluated at
     new maxima and recorded as max.txt column 6 (reference:
     src/mmsbinfer.cc:206-328, 2145-2170). LinkSampling keeps a single
-    split (linksampling.cc:170-179)."""
+    split (linksampling.cc:170-179). At-max rows only appear once the
+    classic stop guard iter > min(n, 5000) = 75 passes
+    (src/mmsbinfer.cc:2135-2144), so the run must go past it."""
     eng, cfg, net = _make_engine(tmp_path, assort_path, randomnode=True,
-                                 max_iterations=9,
-                                 use_validation_stop=False, reportfreq=3)
+                                 max_iterations=100,
+                                 use_validation_stop=False, reportfreq=20)
     # two non-empty disjoint splits, both excluded from training
     assert len(net.heldout_pairs) and len(net.validation_pairs)
     from svinet_tpu.graph import _pair_key
@@ -551,7 +553,7 @@ def test_dual_heldout_validation_splits(tmp_path, assort_path):
     row = open(cfg.file_str("max.txt")).read().split()
     assert len(row) == 7, row
     max_v = float(row[5])
-    assert np.isfinite(max_v) and max_v < 0
+    assert -100 < max_v < 0, max_v   # a real avg logL, not the sentinel
     # heldout.txt has a row per report (11 cols); validation.txt rows are
     # 8-col at-max records, at most one per report
     hrows = [l.split() for l in open(cfg.file_str("heldout.txt"))]
@@ -627,3 +629,32 @@ def test_sbm_beats_reference_baseline(tmp_path, assort_path):
     phi = np.asarray(eng.phi)
     counts = np.bincount(phi.argmax(1), minlength=4)
     assert (counts > 5).sum() >= 3, counts
+
+
+def test_freeze_sticky_never_thaws(tmp_path, assort_path):
+    """-freeze end-to-end: the sticky flags (reference: _converged
+    assigned by prune() and never cleared, src/linksampling.cc:472-473)
+    engage on assort-75-4 at K=4 (~30 of 75 nodes converge by iter 40)
+    and the frozen set grows monotonically across report intervals —
+    the pre-round-4 stateless recompute could thaw a node whenever a
+    second column crossed the threshold (stickiness itself is unit-
+    pinned in test_ops.py::test_converged_of_sticky_prev)."""
+    from svinet_tpu.svi.linksampling import LinkSampling
+    cfg = Config(n=75, k=4, link_sampling=True, seed=1,
+                 freeze_converged=True, outdir=str(tmp_path / "fz"),
+                 max_iterations=60, use_validation_stop=False,
+                 reportfreq=10)
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    eng = LinkSampling(cfg, net)
+    frozen_sets = []
+    orig_report = eng.report
+    def spy_report():
+        frozen_sets.append(set(np.nonzero(np.asarray(eng._conv) > 0)[0]))
+        return orig_report()
+    eng.report = spy_report
+    eng.infer()
+    assert len(frozen_sets[-1]) >= 20, "freezing never engaged"
+    for prev, cur in zip(frozen_sets, frozen_sets[1:]):
+        assert prev <= cur, "a frozen node thawed (sticky flags broken)"

@@ -190,3 +190,45 @@ def test_native_writers_match_python(tmp_path):
     finally:
         nat.write_matrix_tsv_extra = orig
     assert p_g.read_text() == p_py.read_text()
+
+
+def test_drop_singles_rebuilds_pair_keys(assort_path):
+    """Pair keys are lo*n + hi; drop_singles shrinks n, so every cached
+    key set must be rebuilt or y()/edge_ok lookups compare keys from two
+    different bases and mislabel real links as nonlinks (round-4 review
+    finding: -n overshoot corrupted every subsequent split sample)."""
+    cfg = Config(n=80, k=4).resolve()     # 5 padded singles
+    net = Network(cfg)
+    net.read(assort_path)
+    assert net.singles == 5
+    net.drop_singles()
+    assert net.n == 75 and cfg.n == 75
+    lo = net.edges[:, 0].astype(np.int64)
+    hi = net.edges[:, 1].astype(np.int64)
+    assert net.y(lo, hi).all(), "every real link must test as a link"
+    # a known nonlink stays a nonlink
+    deg0_partner = next(q for q in range(1, 75)
+                        if q not in set(net.neighbors(0)))
+    assert net.y(np.array([0]), np.array([deg0_partner]))[0] == 0
+
+
+def test_strid_ground_truth_and_init_communities(tmp_path):
+    """-strid graphs can load ground-truth/init-community files keyed by
+    the same string ids (extension: the reference's loaders are %d-only,
+    src/network.cc:276, and assert on unknown ids)."""
+    p = tmp_path / "s.txt"
+    p.write_text("alice\tbob\nbob\tcarol\nalice\tcarol\ndan\terin\n")
+    cfg = Config(n=5, k=2, strid=True, nmi=True)
+    net = Network(cfg)
+    net.read(str(p))
+    gt = tmp_path / "gt.txt"
+    gt.write_text("alice\t0\nbob\t0\ncarol\t0\ndan\t1\nerin\t1\n")
+    net.load_ground_truth(str(gt))
+    assert len(net.ground_truth) == 2
+    assert list(net.ground_truth[0]) == [0, 1, 2]   # alice, bob, carol
+    assert list(net.ground_truth[1]) == [3, 4]
+    ic = tmp_path / "ic.txt"
+    ic.write_text("alice bob carol\ndan erin\n")
+    net.load_init_communities(str(ic))
+    assert net.init_communities_seq[0] == [0]
+    assert net.init_communities_seq[4] == [1]

@@ -243,3 +243,33 @@ def test_compact_expand_roundtrip():
                             eta, k)
     np.testing.assert_allclose(np.asarray(g2), gamma, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(l2), lam, rtol=1e-6)
+
+
+def test_converged_of_sticky_prev():
+    """The reference's _converged is assigned when active_comms == 1 and
+    NEVER cleared (src/linksampling.cc:472-473: prune() only overwrites
+    on a later count==1 state). converged_of(prev=...) must keep a
+    frozen node frozen when a second column later crosses the
+    threshold, and update the column on a new count==1 state."""
+    import jax.numpy as jnp
+    from svinet_tpu.svi.sweep_math import converged_of
+    alpha = 0.25
+    g1 = jnp.asarray([[2.0, 0.3, 0.3],     # converged to column 0
+                      [0.3, 0.3, 0.3],     # free
+                      [2.0, 2.0, 0.3]])    # two active: free
+    c1 = converged_of(g1, alpha)
+    assert list(np.asarray(c1)) == [1, 0, 0]
+    # node 0 gains a second active column; node 1 converges to column 2
+    g2 = jnp.asarray([[2.0, 2.0, 0.3],
+                      [0.3, 0.3, 2.0],
+                      [2.0, 2.0, 0.3]])
+    c2 = converged_of(g2, alpha, c1)
+    assert list(np.asarray(c2)) == [1, 3, 0]   # node 0 STAYS frozen
+    # stateless call (no prev) thaws node 0 — the pre-round-4 behavior
+    assert list(np.asarray(converged_of(g2, alpha))) == [0, 3, 0]
+    # a later count==1 state re-points the frozen column
+    g3 = jnp.asarray([[0.3, 2.0, 0.3],
+                      [0.3, 0.3, 2.0],
+                      [2.0, 2.0, 0.3]])
+    c3 = converged_of(g3, alpha, c2)
+    assert list(np.asarray(c3)) == [2, 3, 0]

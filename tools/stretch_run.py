@@ -74,7 +74,7 @@ def gen() -> None:
     print(f"+ planted cover: {len(comms)} communities")
 
 
-def run(max_iters: int, rfreq: int) -> None:
+def run(max_iters: int, rfreq: int, fuse_s3: bool = False) -> None:
     os.chdir(WORKDIR)
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
@@ -85,6 +85,8 @@ def run(max_iters: int, rfreq: int) -> None:
            "-seed", str(SEED), "-label", "stretch",
            "-rfreq", str(rfreq), "-max-iterations", str(max_iters),
            "-checkpoint-freq", "300", "-resume"]
+    if fuse_s3:
+        cmd.append("-fuse-s3")
     t0 = time.time()
     rc = subprocess.call(cmd, env=env)
     if rc != 0:
@@ -152,11 +154,13 @@ def main() -> None:
     ap.add_argument("--score", action="store_true")
     ap.add_argument("--max-iters", type=int, default=100)
     ap.add_argument("--rfreq", type=int, default=10)
+    ap.add_argument("--fuse-s3", action="store_true",
+                    help="run with -fuse-s3 (round-3 sweep fusion)")
     args = ap.parse_args()
     if args.gen:
         gen()
     if args.run:
-        run(args.max_iters, args.rfreq)
+        run(args.max_iters, args.rfreq, args.fuse_s3)
     if args.score:
         score()
 
