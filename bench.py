@@ -210,17 +210,19 @@ def main() -> None:
         "stretch_fused_s3": stretch_fused,
         "stretch_fused_s3_bf16": stretch_bf16,
         # completed END-TO-END n=1M/k=500 inference run (STRETCH.md;
-        # tools/stretch_run.py --gen --run --score on the v5e, 2026-08-20):
-        # real heldout eval + nshol stopping + sharded checkpoints, scored
-        # against the planted cover. Recorded, not rerun per bench call
-        # (the full pipeline is ~63 min).
+        # tools/stretch_run.py --gen --run --score --fuse-s3 on the v5e,
+        # 2026-08-21): real heldout eval + nshol stopping + sharded
+        # checkpoints (restore verified), scored against the planted
+        # cover. Recorded, not rerun per bench call (the full pipeline is
+        # ~56 min; the prior unfused run did 6.24 Me/s at 4.633 s/sweep).
         "stretch_e2e": {"n": 1_000_000, "k": 500,
-                        "training_links": 28_889_663,
-                        "median_secs_per_sweep": 4.633,
-                        "sweep_meps": 6.24, "stop_iter": 100,
-                        "best_nshol": -0.00034,
+                        "training_links": 28_889_673,
+                        "median_secs_per_sweep": 4.238,
+                        "sweep_meps": 6.82, "stop_iter": 100,
+                        "best_nshol": -0.00033,
                         "nmi_vs_planted": 0.9134,
-                        "communities_found": 500},
+                        "communities_found": 500,
+                        "fuse_s3": True},
     }))
 
 
