@@ -132,17 +132,26 @@ namespace {
 inline void append_fixed(std::string* out, double v, int decimals,
                          int64_t pow10) {
   // fall back when the SCALED value could overflow llround (int64 holds
-  // ~9.2e18); fabs(NaN) fails the comparison too, so NaN/inf also fall
-  // through to snprintf
-  if (!(fabs(v) * static_cast<double>(pow10) < 9.0e18)) {
+  // ~9.2e18; fabs(NaN) fails the comparison too, so NaN/inf also fall
+  // through) OR when it sits on a rounding half-boundary — llround is
+  // half-away-from-zero while printf/Python round the exact binary
+  // value half-even, so exact halves must delegate to libc for
+  // byte-parity with the fallback writers
+  double sd = v * static_cast<double>(pow10);
+  double frac = sd - std::floor(sd);
+  if (!(fabs(sd) < 9.0e18) || fabs(frac - 0.5) < 1e-6) {
     char tmp[64];
     snprintf(tmp, sizeof tmp, "%.*f", decimals, v);
     out->append(tmp);
     return;
   }
-  int64_t scaled = llround(v * static_cast<double>(pow10));
-  if (scaled < 0) {
+  int64_t scaled = llround(sd);
+  // sign from the INPUT, not the scaled magnitude: printf prints
+  // "-0.00000" for tiny negative values
+  if (std::signbit(v) && v == v) {
     out->push_back('-');
+  }
+  if (scaled < 0) {
     scaled = -scaled;
   }
   int64_t ip = scaled / pow10, fp = scaled % pow10;

@@ -164,18 +164,9 @@ def _orbax_restore(ckptr, path: str, shardings: Optional[Dict[str, Any]]):
         return ckptr.restore(path)
 
 
-def load_checkpoint(outdir: str, step: Optional[int] = None,
-                    shardings: Optional[Dict[str, Any]] = None
-                    ) -> Optional[Dict[str, Any]]:
-    """Restore the state dict saved by save_checkpoint (scalars merged).
-    `shardings` maps array names to jax Shardings; named arrays restore
-    straight into that device layout, everything else as numpy. Returns
-    None when no checkpoint exists."""
-    if step is None:
-        step = latest_step(outdir)
-    if step is None:
-        return None
-    path = os.path.abspath(os.path.join(outdir, "ckpt"))
+def _load_step(path: str, step: int,
+               shardings: Optional[Dict[str, Any]]
+               ) -> Optional[Dict[str, Any]]:
     meta = {}
     mp = os.path.join(path, f"{step}.meta.json")
     if os.path.exists(mp):
@@ -200,3 +191,38 @@ def load_checkpoint(outdir: str, step: Optional[int] = None,
     out: Dict[str, Any] = dict(arrays)
     out.update(meta)
     return out
+
+
+def load_checkpoint(outdir: str, step: Optional[int] = None,
+                    shardings: Optional[Dict[str, Any]] = None
+                    ) -> Optional[Dict[str, Any]]:
+    """Restore the state dict saved by save_checkpoint (scalars merged).
+    `shardings` maps array names to jax Shardings; named arrays restore
+    straight into that device layout, everything else as numpy. Returns
+    None when no checkpoint exists.
+
+    A step that fails to load (e.g. a process killed mid-way through the
+    very first save leaves a truncated npz/orbax dir and no `latest`
+    pointer — the pointer itself is atomic) is skipped with a warning and
+    the next older step on disk is tried, so -resume degrades to an older
+    checkpoint or a fresh start instead of crashing."""
+    path = os.path.abspath(os.path.join(outdir, "ckpt"))
+    if step is not None:
+        candidates = [step]
+    else:
+        latest = latest_step(outdir)
+        if latest is None:
+            return None
+        older = ([s for s in _steps_on_disk(path) if s != latest]
+                 if os.path.isdir(path) else [])
+        candidates = [latest] + older[::-1]
+    for s in candidates:
+        try:
+            out = _load_step(path, s, shardings)
+        except Exception as e:   # truncated npz / partial orbax dir
+            print(f"+ checkpoint step {s} unreadable ({e!r}); "
+                  "trying an older one")
+            continue
+        if out is not None:
+            return out
+    return None

@@ -523,8 +523,12 @@ class EngineBase:
             if not getattr(self.cfg, "checkpoint_freq", 0.0):
                 try:
                     self.save_checkpoint(nxt)
-                except Exception:
-                    pass
+                except Exception as e:
+                    # the TSV model files above DID save; say plainly
+                    # that the native (resumable) checkpoint did not
+                    self.log("SIGTERM checkpoint save FAILED (%r) — "
+                             "TSV model files written, -resume state "
+                             "NOT saved", e)
 
     def log_communities(self) -> None:
         cfg = self.cfg

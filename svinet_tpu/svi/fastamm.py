@@ -380,20 +380,29 @@ class FastAMM(EngineBase):
 
     def _state_dict(self):
         if not self._W:
-            return super()._state_dict()
-        d = self._host_state()
-        d.update(ids=self.ids, vals=self.vals, rest=self.rest,
-                 lam=self.lam)
+            d = super()._state_dict()
+        else:
+            d = self._host_state()
+            d.update(ids=self.ids, vals=self.vals, rest=self.rest,
+                     lam=self.lam)
+        # per-node Robbins-Monro counters ARE schedule state (reference:
+        # src/fastamm.cc:594 keeps per-node counts): losing them on
+        # resume resets every touched node's rho to (nodetau0)^-nodekappa
+        d["nodec"] = self._nodec
         return d
 
     def _restore_state(self, state) -> None:
         if not self._W:
-            return super()._restore_state(state)
-        self.ids = self._as_device(state["ids"])
-        self.vals = self._as_device(state["vals"])
-        self.rest = self._as_device(state["rest"])
-        self.lam = self._as_device(state["lam"])
-        self._restore_host_state(state)
+            super()._restore_state(state)
+        else:
+            self.ids = self._as_device(state["ids"])
+            self.vals = self._as_device(state["vals"])
+            self.rest = self._as_device(state["rest"])
+            self.lam = self._as_device(state["lam"])
+            self._restore_host_state(state)
+        nc = state.get("nodec")
+        if nc is not None:
+            self._nodec = np.asarray(nc, np.int64)
 
     def do_on_stop(self, next_iteration=None) -> None:
         if not self._W:

@@ -117,8 +117,16 @@ class FastAMM2(EngineBase):
                            network.seq2id)
         self._resume_if_requested()
 
+    def _state_dict(self):
+        d = super()._state_dict()
+        # without this a resumed run rewrites hitcurve_0.txt onward,
+        # clobbering the pre-resume per-report hit curves
+        d["hitcurve_id"] = int(self._hitcurve_id)
+        return d
+
     def _restore_state(self, state) -> None:
         super()._restore_state(state)
+        self._hitcurve_id = int(state.get("hitcurve_id", 0))
         if self._mesh is not None:
             from svinet_tpu.parallel.mesh import device_put_replicated
             self.gamma, self.lam = device_put_replicated(

@@ -158,12 +158,29 @@ def local_clustering_avg(n: int, edges: np.ndarray) -> float:
 @jax.jit
 def _edge_colors(pi, beta, edges):
     """inner_prod_max per edge: (max_k of pi_p pi_q beta) / sum, argmax
-    (reference: src/matrix.hh:459-476)."""
+    (reference: src/matrix.hh:459-476). Also returns the un-normalized
+    sum s (the pair's link probability under pi/beta — the ppc pe term)
+    so callers don't re-dispatch the same gather eagerly."""
     prod = pi[edges[:, 0]] * pi[edges[:, 1]] * beta
     s = prod.sum(-1)
     amax = prod.argmax(-1)
     mx = jnp.take_along_axis(prod, amax[:, None], 1)[:, 0]
-    return amax.astype(jnp.int32), mx / jnp.maximum(s, 1e-30)
+    return amax.astype(jnp.int32), mx / jnp.maximum(s, 1e-30), s
+
+
+def _edge_colors_padded(pi_d, beta_d, pairs_np):
+    """_edge_colors over a host edge array, padded to a power-of-two
+    block so the jitted program compiles once per size BUCKET, not once
+    per distinct edge count — ppc feeds ~100 differently-sized replicated
+    draws, which otherwise retrace per draw (30-60 s each through a
+    remote-TPU tunnel). Padding pairs are (0,0); the slices drop them."""
+    m = int(pairs_np.shape[0])
+    padded = max(1024, 1 << int(np.ceil(np.log2(max(m, 1)))))
+    pp = np.zeros((padded, 2), np.int32)
+    pp[:m] = pairs_np
+    colors, mx, s = _edge_colors(pi_d, beta_d, jnp.asarray(pp))
+    return (np.asarray(colors)[:m], np.asarray(mx)[:m],
+            np.asarray(s)[:m])
 
 
 def bridgeness(pi: np.ndarray, deg: np.ndarray) -> np.ndarray:
@@ -323,17 +340,12 @@ class MMSBGen:
             pi_d = jnp.asarray(pi, jnp.float32)
             beta_d = jnp.asarray(beta, jnp.float32)
             for (pairs, pe, sz) in (
-                    (obs_edges_d, lc_obs_pe, lc_obs_sz),
-                    (jnp.asarray(edges) if len(edges) else None,
+                    (np.asarray(obs_edges_d), lc_obs_pe, lc_obs_sz),
+                    (np.asarray(edges) if len(edges) else None,
                      lc_ppc_pe, lc_ppc_sz)):
                 if pairs is None or pairs.shape[0] == 0:
                     continue
-                colors, mx = _edge_colors(pi_d, beta_d, pairs)
-                colors = np.asarray(colors)
-                mx = np.asarray(mx)
-                pr = np.asarray(
-                    (pi_d[pairs[:, 0]] * pi_d[pairs[:, 1]] * beta_d
-                     ).sum(-1))
+                colors, mx, pr = _edge_colors_padded(pi_d, beta_d, pairs)
                 keep = mx >= 0.5
                 ll = np.log(np.maximum(pr, 1e-30))
                 for k in range(self.k):
@@ -380,9 +392,9 @@ class MMSBGen:
         groups = pi.argmax(1)
         bri = bridgeness(pi, net.deg)
 
-        colors, mx = _edge_colors(jnp.asarray(pi, jnp.float32),
-                                  jnp.asarray(beta, jnp.float32),
-                                  jnp.asarray(net.edges))
+        colors, mx, _ = _edge_colors(jnp.asarray(pi, jnp.float32),
+                                     jnp.asarray(beta, jnp.float32),
+                                     jnp.asarray(net.edges))
         colors = np.asarray(colors)
         mx = np.asarray(mx)
 
@@ -442,9 +454,9 @@ class MMSBGen:
         gamma, lam = self._load()
         pi = gamma / gamma.sum(1, keepdims=True)
         beta = lam[:, 0] / (lam[:, 0] + lam[:, 1])
-        colors, mx = _edge_colors(jnp.asarray(pi, jnp.float32),
-                                  jnp.asarray(beta, jnp.float32),
-                                  jnp.asarray(net.edges))
+        colors, mx, _ = _edge_colors(jnp.asarray(pi, jnp.float32),
+                                     jnp.asarray(beta, jnp.float32),
+                                     jnp.asarray(net.edges))
         colors = np.asarray(colors)
         sel = np.asarray(mx) >= 0.5
         comm_deg = np.zeros((self.n, self.k), np.int64)

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from svinet_tpu.config import Config
-from svinet_tpu.graph import Network, _pair_key
+from svinet_tpu.graph import Network
 from svinet_tpu.ops.expectations import dirichlet_expectation
 from svinet_tpu.ops.edges import pad_edges
 from svinet_tpu.ops.phicomp import phi_fixed_point
@@ -247,12 +247,6 @@ class MMSBInfer(EngineBase):
                                jnp.float32)
         self.log_eps = float(np.log(cfg.epsilon))
 
-        # link lookup keys for host-side sampling (heldout exclusion
-        # lives on Network.edge_ok_mask)
-        self._edge_keys = np.sort(_pair_key(
-            network.edges[:, 0].astype(np.int64),
-            network.edges[:, 1].astype(np.int64), n))
-
         self._family = 0
         # -nonuniform needs -inf (reference dispatch: opt_nonuniform only
         # runs under `if (_env.infthresh)`, src/mmsbinfer.cc:543-548)
@@ -289,8 +283,26 @@ class MMSBInfer(EngineBase):
         self._elbo_cache = None
         self._resume_if_requested()
 
+    def _state_dict(self):
+        d = super()._state_dict()
+        # the lambda Robbins-Monro clock and the stratified family phase
+        # ARE schedule state (base.py's checkpoint doctrine): without
+        # them a resume resets rhot to (tau0+1)^-kappa — a near-full-size
+        # lambda step on a converged state — and restarts the
+        # link/nonlink alternation at 0
+        d["lambda_clock"] = [int(self._lambda_start_iter),
+                            int(self._delaylearn_reported),
+                            int(self._family)]
+        return d
+
     def _restore_state(self, state) -> None:
         super()._restore_state(state)
+        lc = state.get("lambda_clock")
+        if lc is not None:
+            lc = [int(x) for x in np.asarray(lc)]
+            self._lambda_start_iter = lc[0]
+            self._delaylearn_reported = bool(lc[1])
+            self._family = lc[2]
         if self._mesh is not None:
             # restored arrays must go back to the mesh-replicated layout
             # the sharded step fns expect
@@ -300,10 +312,9 @@ class MMSBInfer(EngineBase):
 
     # ------------------------------------------------------------------
     def _y_of(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-        keys = _pair_key(lo.astype(np.int64), hi.astype(np.int64), self.n)
-        idx = np.clip(np.searchsorted(self._edge_keys, keys), 0,
-                      len(self._edge_keys) - 1)
-        return (self._edge_keys[idx] == keys).astype(np.int32)
+        # Network.y owns the canonical sorted-key lookup (and its
+        # drop_singles rebuild); do not duplicate the key array here
+        return self.network.y(lo, hi).astype(np.int32)
 
     def _edge_ok(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
         return self.network.edge_ok_mask(lo, hi)

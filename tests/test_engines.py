@@ -658,3 +658,95 @@ def test_freeze_sticky_never_thaws(tmp_path, assort_path):
     assert len(frozen_sets[-1]) >= 20, "freezing never engaged"
     for prev, cur in zip(frozen_sets, frozen_sets[1:]):
         assert prev <= cur, "a frozen node thawed (sticky flags broken)"
+
+
+def test_resume_restores_schedule_state(tmp_path, assort_path):
+    """Robbins-Monro schedule state survives resume: MMSBInfer's lambda
+    clock (_lambda_start_iter/_delaylearn_reported) + stratified family
+    phase, FastAMM's per-node counters (reference keeps per-node counts,
+    src/fastamm.cc:594), FastAMM2's hitcurve file counter. Losing any of
+    these made resume != uninterrupted (a near-full-size lambda step on
+    a converged state) or clobbered pre-resume hitcurve files."""
+    from svinet_tpu.svi.mmsb import MMSBInfer
+    from svinet_tpu.svi.fastamm2 import FastAMM2
+
+    def run(cls, outdir, resume=False, **kw):
+        cfg = Config(n=75, k=4, heldout_ratio=0.1, seed=7,
+                     outdir=str(tmp_path / outdir), resume=resume,
+                     max_iterations=8, use_validation_stop=False,
+                     reportfreq=4, **kw)
+        cfg.resolve()
+        net = Network(cfg)
+        net.read(assort_path)
+        eng = cls(cfg, net)
+        return eng
+
+    # MMSBInfer stratified: force the lambda clock to engage, checkpoint
+    eng = run(MMSBInfer, "ms", stratified=True, randompair=True,
+              delaylearn=False)
+    eng.infer()
+    eng._lambda_start_iter = 3
+    eng._delaylearn_reported = True
+    eng._family = 1
+    eng.save_checkpoint()
+    eng2 = run(MMSBInfer, "ms", resume=True, stratified=True,
+               randompair=True, delaylearn=False)
+    assert eng2._lambda_start_iter == 3
+    assert eng2._delaylearn_reported is True
+    assert eng2._family == 1
+
+    # FastAMM2: hitcurve counter continues
+    eng = run(FastAMM2, "fa2", stratified=True, randomnode=True)
+    eng.infer()
+    hc = eng._hitcurve_id
+    assert hc > 0
+    eng.save_checkpoint()
+    eng2 = run(FastAMM2, "fa2", resume=True, stratified=True,
+               randomnode=True)
+    assert eng2._hitcurve_id == hc
+
+    # FastAMM: per-node counters restored
+    from svinet_tpu.svi.fastamm import FastAMM
+    cfg = Config(n=75, k=4, informative_sampling=True, heldout_ratio=0.1,
+                 seed=7, outdir=str(tmp_path / "fa"), max_iterations=8,
+                 use_validation_stop=False, reportfreq=4)
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    net.set_neighborhood_sets(cfg)
+    eng = FastAMM(cfg, net)
+    eng.infer()
+    assert eng._nodec.sum() > 0
+    eng.save_checkpoint()
+    cfg2 = Config(n=75, k=4, informative_sampling=True, heldout_ratio=0.1,
+                  seed=7, outdir=str(tmp_path / "fa"), resume=True,
+                  max_iterations=8, use_validation_stop=False, reportfreq=4)
+    cfg2.resolve()
+    net2 = Network(cfg2)
+    net2.read(assort_path)
+    net2.set_neighborhood_sets(cfg2)
+    eng2 = FastAMM(cfg2, net2)
+    np.testing.assert_array_equal(eng2._nodec, eng._nodec)
+
+
+def test_corrupt_checkpoint_falls_back_to_older(tmp_path):
+    """A process killed mid-save leaves a truncated step with no
+    `latest` pointer (the pointer write is atomic). -resume must skip
+    the unreadable step and restore the next older one — or start fresh
+    — instead of crashing (round-4 review finding)."""
+    import json
+    from svinet_tpu.io.checkpoint import load_checkpoint
+    ck = tmp_path / "run" / "ckpt"
+    ck.mkdir(parents=True)
+    good = {"gamma": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    np.savez(ck / "1.npz", **good)
+    (ck / "1.meta.json").write_text(json.dumps({"iteration": 1}))
+    # truncated newer step, no latest pointer
+    (ck / "2.npz").write_bytes(b"PK\x03\x04 truncated")
+    state = load_checkpoint(str(tmp_path / "run"))
+    assert state is not None and int(state["iteration"]) == 1
+    np.testing.assert_array_equal(state["gamma"], good["gamma"])
+    # only corrupt steps on disk -> clean None (fresh start)
+    (ck / "1.npz").unlink()
+    (ck / "1.meta.json").unlink()
+    assert load_checkpoint(str(tmp_path / "run")) is None

@@ -46,9 +46,11 @@ def test_edge_colors_argmax():
     pi = jnp.asarray([[0.9, 0.1], [0.8, 0.2], [0.1, 0.9]], jnp.float32)
     beta = jnp.asarray([0.5, 0.5], jnp.float32)
     edges = jnp.asarray([[0, 1], [1, 2]], jnp.int32)
-    colors, mx = _edge_colors(pi, beta, edges)
+    colors, mx, s = _edge_colors(pi, beta, edges)
     assert int(colors[0]) == 0
     assert 0.5 < float(mx[0]) <= 1.0
+    # s = un-normalized pair link probability sum_k pi_p pi_q beta
+    assert abs(float(s[0]) - (0.9 * 0.8 + 0.1 * 0.2) * 0.5) < 1e-6
 
 
 def test_draw_network_sparse_matches_dense_statistics():

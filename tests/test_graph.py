@@ -168,6 +168,11 @@ def test_native_writers_match_python(tmp_path):
     from svinet_tpu.io.writers import write_groups
     rng = np.random.default_rng(3)
     gamma = rng.gamma(2.0, 10.0, size=(37, 5)).astype(np.float32)
+    # adversarial rows: exact binary half-boundaries (printf rounds the
+    # exact value half-even; naive llround is half-away-from-zero) and
+    # tiny negatives that round to "-0.00000"
+    gamma[0] = [0.015625, 2.5e-5, 0.5e-5, 1.5e-5, 7.5e-5]
+    gamma[1] = [-4e-6, -0.015625, 0.0, -0.0, 123.000005]
     seq2id = np.arange(100, 137, dtype=np.int64)
 
     p_nat = tmp_path / "g_native.txt"
