@@ -303,10 +303,12 @@ def sharded_nonuniform_weights(g, pairs, y, mask, infthresh: float,
     src/mmsbinfer.cc:1525-1700): category COUNTS (links / informative
     zeros / non-informative zeros) are psum'd so every kept pair carries
     the GLOBAL count weight, exactly as single-device. The per-sample
-    caps become per-shard: the single kept non-informative zero
+    caps stay GLOBAL too: the single kept non-informative zero
     (n2_max=1, src/mmsbinfer.cc:1571-1572) lives on shard 0, and the
-    0.1% informative-zero cap is taken of each shard's local count (the
-    caps sum to the global cap within rounding of the shard split).
+    0.1% informative-zero cap selects the first C = 0.001 * global-count
+    pairs in shard order via an exclusive cross-shard prefix (a
+    per-shard cap of the local count floors to ZERO whenever a shard
+    holds < 1000 informative zeros, dropping the whole category).
     Returns (weights, n_proc) with n_proc the GLOBAL processed-pair
     count feeding the rnode scale 3n/(2 n_proc)
     (src/mmsbinfer.cc:571-572); call only inside shard_map over `axis`."""
@@ -322,13 +324,23 @@ def sharded_nonuniform_weights(g, pairs, y, mask, infthresh: float,
     inf = (y == 0) & valid & (p_i >= infthresh)
     f = g.dtype
     nones = jax.lax.psum(is_link.sum(), axis)
-    nz_inf = jax.lax.psum(inf.sum(), axis)
+    inf_local = inf.sum()
+    nz_inf = jax.lax.psum(inf_local, axis)
     nz_noninf = jax.lax.psum(noninf.sum(), axis)
-    n3_max_l = (0.001 * inf.sum()).astype(jnp.int32)
-    shard0 = jax.lax.axis_index(axis) == 0
+    # GLOBAL 0.1% cap with an exact first-C selection across shards:
+    # per-shard caps of the local count floor to zero whenever a shard
+    # holds < 1000 informative zeros, silently dropping the whole n3
+    # category that single-device keeps. Instead take the global cap of
+    # the global count and select the first C informative zeros in shard
+    # order via an exclusive cross-shard prefix of the local counts.
+    n3_max = (0.001 * nz_inf).astype(jnp.int32)
+    counts = jax.lax.all_gather(inf_local.astype(jnp.int32), axis)
+    me = jax.lax.axis_index(axis)
+    prefix = jnp.where(jnp.arange(counts.shape[0]) < me, counts, 0).sum()
+    shard0 = me == 0
     sel_noninf = (noninf & shard0
                   & (jnp.cumsum(noninf.astype(jnp.int32)) <= 1))
-    sel_inf = inf & (jnp.cumsum(inf.astype(jnp.int32)) <= n3_max_l)
+    sel_inf = inf & (prefix + jnp.cumsum(inf.astype(jnp.int32)) <= n3_max)
     w = (is_link.astype(f) * nones.astype(f)
          + sel_noninf.astype(f) * nz_noninf.astype(f)
          + sel_inf.astype(f) * nz_inf.astype(f))
@@ -358,11 +370,9 @@ def make_sharded_svi_multi_step(mesh: Mesh, num_blocks_per_shard: int,
     nonuniform (-nonuniform -inf T, src/mmsbinfer.cc:1525-1700): the
     category COUNTS (links / informative zeros / non-informative zeros)
     are psum'd so every pair is weighted by the GLOBAL count exactly as
-    single-device; the per-sample caps become per-shard — the single
-    kept non-informative zero lives on shard 0 (n2_max=1,
-    src/mmsbinfer.cc:1571-1572) and the 0.1% informative-zero cap is
-    taken per shard's local count (sums to the global cap within MC
-    error of the shard split)."""
+    single-device; the per-sample caps stay global (see
+    sharded_nonuniform_weights — the 0.1% informative-zero cap selects
+    the first C pairs in shard order via a cross-shard prefix)."""
 
     @functools.lru_cache(maxsize=None)
     def build(n_steps: int):

@@ -216,7 +216,7 @@ class FastAMM(EngineBase):
         inf_sorted = np.sort(self.network.sparse_zeros(r).astype(np.int64))
         start = int(self.rng.integers(0, self.n))
         others = ring_nonlink_scan(
-            self._shuffled, self.n, r, start, NONINF_SETSIZE,
+            self._shuffled, self.n, start, NONINF_SETSIZE,
             nonlink_accept(self.network, r, inf_sorted,
                            require_edge_ok=True))
         lo = np.minimum(r, others)

@@ -152,7 +152,7 @@ class FastAMM2(EngineBase):
             setsize = max(1, n // M_SETS)
             start = int(self.rng.integers(0, n))
             others = ring_nonlink_scan(
-                self._shuffled, n, r, start, setsize,
+                self._shuffled, n, start, setsize,
                 nonlink_accept(self.network, r, None,
                                require_edge_ok=False))
             ys = np.zeros(len(others), np.int32)

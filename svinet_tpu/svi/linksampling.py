@@ -432,9 +432,13 @@ class LinkSampling(EngineBase):
             print("+ -fuse-s3 has no converged-freezing fast path; "
                   "running unfused to honor -freeze")
             cfg.fuse_s3 = False
-        if cfg.freeze_converged and cfg.mesh_devices > 1:
-            raise SystemExit("-freeze is not supported under -mesh; "
-                             "drop one of the flags")
+        if cfg.freeze_converged and (cfg.mesh_devices > 1
+                                     or cfg.mesh_rowshard):
+            # must match the mesh-path condition below exactly: a
+            # `-mesh 1 -mesh-rowshard` run also takes the mesh sweep,
+            # which has no conv operand
+            raise SystemExit("-freeze is not supported under -mesh / "
+                             "-mesh-rowshard; drop one of the flags")
         if cfg.fuse_s3:
             cfg.plog("fuse s3", True)
         if cfg.bf16_rows:

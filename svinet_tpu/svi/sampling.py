@@ -22,7 +22,7 @@ from typing import Callable, Optional
 import numpy as np
 
 
-def ring_nonlink_scan(shuffled: np.ndarray, n: int, r: int, start: int,
+def ring_nonlink_scan(shuffled: np.ndarray, n: int, start: int,
                       want: int, accept: Callable[[np.ndarray], np.ndarray],
                       max_scan: Optional[int] = None,
                       batch: int = 8192) -> np.ndarray:
@@ -73,12 +73,17 @@ def nonlink_accept(network, r: int, reject_sorted: Optional[np.ndarray],
 
 def random_nonlink_draws(rng: np.random.Generator, network, n: int, r: int,
                          want: int, reject_sorted: Optional[np.ndarray],
-                         max_tries: int, batch: int = 4096) -> np.ndarray:
+                         max_tries: int, batch: int = 4096,
+                         require_edge_ok: bool = True) -> np.ndarray:
     """SBM's stochastic variant: uniform random candidate draws instead
     of a ring walk (reference: src/sbm.cc:700-760), batched the same
-    way. Survivor criteria: != r, not in reject_sorted, y == 0."""
+    way. Survivor criteria: != r, not in reject_sorted, y == 0, and (by
+    default) edge_ok — the reference tests edge_ok DURING the draw
+    (src/sbm.cc:757 `if (y == 0 && edge_ok(e))`) and keeps drawing until
+    `want` valid pairs; filtering after truncation instead yields
+    systematically undersized samples on small graphs."""
     accept = nonlink_accept(network, r, reject_sorted,
-                            require_edge_ok=False)
+                            require_edge_ok=require_edge_ok)
     picked = []
     got = 0
     tries = 0

@@ -46,14 +46,42 @@ from svinet_tpu.evals.likelihood import HeldoutResult
 from svinet_tpu.svi.base import EngineBase
 
 
+N_CHUNKS = 16   # Gauss-Seidel chunk count (node id % N_CHUNKS)
+
+
+def chunk_incident_pairs(pairs: np.ndarray, n_chunks: int = N_CHUNKS):
+    """Per-chunk incident pair lists for the blocked Gauss-Seidel E-step:
+    chunk c's list holds every pair with an endpoint in chunk c
+    (node id % n_chunks == c), padded to a common length. A chunk's
+    phi_update then scatters only its own incident pairs instead of the
+    whole graph — the full-edge scatter repeated per chunk was ~n_chunks
+    times the necessary E-step work. Returns (pairs (C,Emax,2) int32,
+    mask (C,Emax) f32)."""
+    pairs = pairs.reshape(-1, 2).astype(np.int32)
+    cid_p = pairs[:, 0] % n_chunks
+    cid_q = pairs[:, 1] % n_chunks
+    lists = [pairs[(cid_p == c) | (cid_q == c)] for c in range(n_chunks)]
+    emax = max(1, max(len(l) for l in lists))
+    emax = ((emax + 63) // 64) * 64
+    out = np.zeros((n_chunks, emax, 2), np.int32)
+    msk = np.zeros((n_chunks, emax), np.float32)
+    for c, l in enumerate(lists):
+        out[c, :len(l)] = l
+        msk[c, :len(l)] = 1.0
+    return out, msk
+
+
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("estep_rounds",))
 def sbm_batch_step(phi, gamma, lam, edges, mask, held_pairs, held_mask,
+                   chunk_edges, chunk_emask, chunk_held, chunk_hmask,
                    alpha, eta, n_valid_pairs, estep_rounds: int = 10):
     """One batch coordinate-ascent iteration: E-step fixed point + M-step.
-    held_pairs/held_mask: the validation/test pairs, which the reference
+    held_pairs/held_mask: every heldout-split pair, which the reference
     excludes from every pair sum (edge_ok, src/sbm.hh:311-329) — here
-    subtracted from the closed-form nonlink totals."""
+    subtracted from the closed-form nonlink totals. chunk_*: per-chunk
+    incident pair lists (chunk_incident_pairs) so each Gauss-Seidel
+    chunk scatters only its own edges."""
     n, k = phi.shape
     elogpi = dirichlet_expectation(gamma)          # (K,)
     elogbeta = dirichlet_expectation(lam)          # (K+1,2)
@@ -66,16 +94,22 @@ def sbm_batch_step(phi, gamma, lam, edges, mask, held_pairs, held_mask,
     hp, hq = held_pairs[:, 0], held_pairs[:, 1]
     hcol = held_mask[:, None]
 
-    def phi_update(phi):
-        """One-shot phi for every node given the CURRENT phi of the rest."""
+    def phi_update(phi, ce, cm, che, chm):
+        """One-shot phi given the CURRENT phi of the rest, over one
+        chunk's incident pairs (rows outside the chunk come out partial
+        and are discarded by the caller's where)."""
+        cp, cq = ce[:, 0], ce[:, 1]
+        ccol = cm[:, None]
         # S1 = sum of neighbor phis over training links (both directions)
         s1 = jnp.zeros_like(phi)
-        s1 = s1.at[p].add(phi[q] * mcol)
-        s1 = s1.at[q].add(phi[p] * mcol)
+        s1 = s1.at[cp].add(phi[cq] * ccol)
+        s1 = s1.at[cq].add(phi[cp] * ccol)
         # heldout partners drop out of the nonlink bucket entirely
+        chp, chq = che[:, 0], che[:, 1]
+        chcol = chm[:, None]
         hacc = jnp.zeros_like(phi)
-        hacc = hacc.at[hp].add(phi[hq] * hcol)
-        hacc = hacc.at[hq].add(phi[hp] * hcol)
+        hacc = hacc.at[chp].add(phi[chq] * chcol)
+        hacc = hacc.at[chq].add(phi[chp] * chcol)
         tot = phi.sum(0)[None, :] - phi             # exclude self
         s0 = tot - s1 - hacc
         logits = elogpi[None, :] + s1 * (a - a_cross) + s0 * (b - b_cross)
@@ -86,13 +120,14 @@ def sbm_batch_step(phi, gamma, lam, edges, mask, held_pairs, held_mask,
     # sweep lacks (it is attracted to the all-one-community fixed point).
     # Blocked Gauss-Seidel keeps that property while staying vectorized:
     # nodes update chunk-by-chunk, each chunk seeing the chunks before it.
-    n_chunks = 16
+    n_chunks = N_CHUNKS
     chunk_ids = jnp.arange(n) % n_chunks   # interleaved chunks
 
     def estep_round(state):
         i, phi, _ = state
         def chunk_body(c, phi_c):
-            phi_new = phi_update(phi_c)
+            phi_new = phi_update(phi_c, chunk_edges[c], chunk_emask[c],
+                                 chunk_held[c], chunk_hmask[c])
             sel = (chunk_ids == c)[:, None]
             return jnp.where(sel, phi_new, phi_c)
         phi_new = jax.lax.fori_loop(0, n_chunks, chunk_body, phi)
@@ -232,9 +267,21 @@ class SBM(EngineBase):
         e, m = pad_edges(network.training_links, cfg.edge_block)
         self.edges = jnp.asarray(e)
         self.mask = jnp.asarray(m)
+        # EVERY split is excluded from the closed-form zero totals, like
+        # edge_ok: a precision-set link left out of `held` would be
+        # counted as a nonlink in the lambda M-step
         held = np.concatenate(
             [network.validation_pairs.reshape(-1, 2),
-             network.test_pairs.reshape(-1, 2)], axis=0).astype(np.int32)
+             network.heldout_pairs.reshape(-1, 2),
+             network.test_pairs.reshape(-1, 2),
+             network.precision_pairs.reshape(-1, 2)],
+            axis=0).astype(np.int32)
+        ce, cm = chunk_incident_pairs(network.training_links)
+        self.chunk_edges = jnp.asarray(ce)
+        self.chunk_emask = jnp.asarray(cm)
+        che, chm = chunk_incident_pairs(held)
+        self.chunk_held = jnp.asarray(che)
+        self.chunk_hmask = jnp.asarray(chm)
         hp, hm = pad_edges(held, 64)
         self.held_pairs = jnp.asarray(hp)
         self.held_mask = jnp.asarray(hm)
@@ -244,12 +291,20 @@ class SBM(EngineBase):
     def _state_dict(self):
         d = self._host_state()
         d.update(phi=self.phi, gamma_k=self.gamma_k, lam=self.lam)
+        # per-node Robbins-Monro counters are schedule state (like
+        # FastAMM's): without them a resume takes near-initial-size phi
+        # steps on every touched node
+        if hasattr(self, "_nodec"):
+            d["nodec"] = self._nodec
         return d
 
     def _restore_state(self, state) -> None:
         self.phi = self._as_device(state["phi"])
         self.gamma_k = self._as_device(state["gamma_k"])
         self.lam = self._as_device(state["lam"])
+        nc = state.get("nodec")
+        if nc is not None:
+            self._nodec = np.asarray(nc, np.int64)
         self._restore_host_state(state)
 
     def _label_prop_phi_init(self) -> np.ndarray:
@@ -305,6 +360,8 @@ class SBM(EngineBase):
             self.phi, self.gamma_k, self.lam = sbm_batch_step(
                 self.phi, self.gamma_k, self.lam, self.edges, self.mask,
                 self.held_pairs, self.held_mask,
+                self.chunk_edges, self.chunk_emask,
+                self.chunk_held, self.chunk_hmask,
                 jnp.float32(self.sbm_alpha), self.eta, self.n_valid_pairs)
             self.iteration += 1
             if self.iteration % cfg.reportfreq == 0:
@@ -333,7 +390,8 @@ class SBM(EngineBase):
                 net.load_neighborhood_sets("neighbors.bin")
             else:
                 net.set_neighborhood_sets(cfg)
-        self._nodec = np.zeros(self.n, np.int64)
+        if not hasattr(self, "_nodec"):   # may be restored by -resume
+            self._nodec = np.zeros(self.n, np.int64)
         inf_eps = 0.001   # reference: src/sbm.cc:9
         max_deg = int(net.training_deg.max()) if self.n else 1
         pad = 1 << int(np.ceil(np.log2(max(max_deg + 101, self.k, 64))))
@@ -374,7 +432,14 @@ class SBM(EngineBase):
             yy[:m] = ys[:m]
             ww[:m] = 1.0
             if m == 0:
+                # nothing to step on, but the report boundary must not
+                # be skipped: the heldout trace and the stopper expect a
+                # row every reportfreq iterations regardless
                 self.iteration += 1
+                if self.iteration % cfg.reportfreq == 0:
+                    if self.report():
+                        self.do_on_stop()
+                        return
                 continue
 
             noderho = np.zeros((self.n, 1), np.float32)

@@ -119,7 +119,14 @@ def s3_pass(mphi, edges, mask, num_blocks: int, conv=None) -> jax.Array:
 
     With conv, a pair with exactly one frozen endpoint contributes only the
     other endpoint's indicator at the frozen community
-    (reference: src/linksampling.cc:735-746)."""
+    (reference: src/linksampling.cc:735-746). DELIBERATE CORRECTION: the
+    reference adds `mphid[q][pc]` into `_s3[pc-1]` — reading column pc
+    where the frozen community is pc-1, an off-by-one that indexes out
+    of bounds when pc == K. This port reads the frozen column itself
+    (mphi[q][pc-1], the `hard * other` product below), which is the
+    cross-moment the dense else-branch reduces to when mphi[p] is the
+    one-hot of a frozen node. Freeze-mode s3 therefore diverges slightly
+    from a GSL-shim reference build; -freeze is off by default."""
     k = mphi.shape[1]
     e_blocks = edges.reshape(num_blocks, -1, 2)
     m_blocks = mask.reshape(num_blocks, -1)

@@ -54,7 +54,7 @@ def test_ring_scan_matches_scalar_walk(net, seed, edge_ok):
     reject = np.sort(rng.choice(net.n, size=10, replace=False))
     want = 25
     batched = ring_nonlink_scan(
-        shuffled, net.n, r, start, want,
+        shuffled, net.n, start, want,
         nonlink_accept(net, r, reject, require_edge_ok=edge_ok),
         batch=7)   # small batch: exercises wrapping + multi-chunk
     scalar = _scalar_ring_walk(shuffled, net.n, r, start, want, net,
@@ -68,7 +68,7 @@ def test_ring_scan_exhausts_at_max_scan(net):
     rng = np.random.default_rng(3)
     shuffled = rng.permutation(net.n)
     out = ring_nonlink_scan(
-        shuffled, net.n, 0, 0, 10,
+        shuffled, net.n, 0, 10,
         nonlink_accept(net, 0, np.arange(net.n), require_edge_ok=False))
     assert len(out) == 0
 
@@ -105,7 +105,7 @@ def test_noninf_prep_fast_at_scale():
     shuffled = rng.permutation(n)
     t0 = time.time()
     out = ring_nonlink_scan(
-        shuffled, n, 12345, 999, n // 10,
+        shuffled, n, 999, n // 10,
         nonlink_accept(net, 12345, None, require_edge_ok=False))
     dt = time.time() - t0
     assert len(out) == n // 10

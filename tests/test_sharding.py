@@ -517,3 +517,44 @@ def test_sharded_bf16_sweeps_match_single_device():
                     deg_rs, consts, jnp.float32(1.0), 3, True)
     np.testing.assert_allclose(np.asarray(gr), np.asarray(g8),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_sharded_nonuniform_inf_cap_is_global():
+    """The 0.1% informative-zero cap must be taken of the GLOBAL count
+    with a cross-shard first-C selection: a per-shard cap of the local
+    count floors to zero whenever a shard holds < 1000 informative
+    zeros, silently dropping the whole category (round-4 review
+    finding). With contiguous edge sharding the shard-order selection
+    equals the single-device order, so weights match EXACTLY."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from svinet_tpu.parallel.mesh import make_mesh, sharded_nonuniform_weights
+    from svinet_tpu.svi.mmsb import nonuniform_weights
+
+    nd, n, k = 8, 64, 4
+    m = 2000 * nd
+    rng = np.random.default_rng(1)
+    g = jnp.asarray(rng.gamma(1.0, 1.0, (n, k)).astype(np.float32))
+    pairs = rng.integers(0, n, (m, 2)).astype(np.int32)
+    pairs[:, 1] = (pairs[:, 0] + 1 + pairs[:, 1] % (n - 1)) % n
+    y = (rng.uniform(size=m) < 0.3).astype(np.int32)
+    mask = np.ones(m, np.float32)
+    # infthresh = 0: every zero is informative -> global cap ~ 11 > 0,
+    # per-shard local caps would be floor(0.001 * ~1400) = 1 each (8
+    # total) — a different selection; tiny shards would floor to 0
+    infthresh = 1e-12
+
+    w1, np1 = nonuniform_weights(g, jnp.asarray(pairs), jnp.asarray(y),
+                                 jnp.asarray(mask), infthresh)
+    mesh = make_mesh(nd)
+    f = shard_map(
+        lambda gg, pp, yy, mm: sharded_nonuniform_weights(
+            gg, pp, yy, mm, infthresh, "edges"),
+        mesh=mesh,
+        in_specs=(P(), P("edges"), P("edges"), P("edges")),
+        out_specs=(P("edges"), P()),
+    )
+    w8, np8 = f(g, jnp.asarray(pairs), jnp.asarray(y), jnp.asarray(mask))
+    assert int(np1) > int((y == 1).sum()), "cap never engaged"
+    assert int(np8) == int(np1)
+    np.testing.assert_array_equal(np.asarray(w8), np.asarray(w1))
