@@ -93,11 +93,17 @@ def make_sharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
     """n_sweeps sharded sweeps fused into ONE device program: shard_map
     around a lax.fori_loop whose body is the per-shard sweep with psum'd
     sufficient statistics (collectives inside the loop ride ICI every
-    iteration; one host round trip per report interval)."""
+    iteration; one host round trip per report interval).
+
+    call(..., ho=(pairs, y, w, eps, nb)) additionally returns the six
+    validation heldout sums computed on the FINAL state as the tail of
+    the same program (gamma is replicated, so every shard computes the
+    identical sums — no collective): a report boundary costs one
+    dispatch instead of sweep-then-eval, like the single-device paths."""
 
     @functools.lru_cache(maxsize=None)
-    def build(n_sweeps: int, bf16_on: bool):
-        def _local(gamma, lam, edges, mask, deg, consts, annealing):
+    def build(n_sweeps: int, bf16_on: bool, ho_blocks: int):
+        def _local(gamma, lam, edges, mask, deg, consts, annealing, *ho):
             import jax.numpy as jnp
             from svinet_tpu.ops.expectations import dirichlet_expectation
 
@@ -121,20 +127,33 @@ def make_sharded_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
                     s3_pass(mphi, edges, mask, num_blocks_per_shard), axis)
                 return gnext, finish_lambda(s1, s2, s3, lam0, consts)
 
-            return jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
+            g, l = jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam))
+            if ho_blocks:
+                from svinet_tpu.evals.likelihood import heldout_sums_blocked
+                hp, hy, hw, eps = ho
+                return g, l, heldout_sums_blocked(g, l, hp, hy, hw, eps,
+                                                  ho_blocks)
+            return g, l
 
+        base_in = (P(), P(), P(axis), P(axis), P(),
+                   LSConsts(P(), P(), P(), P()), P())
+        ho_in = (P(), P(), P(), P()) if ho_blocks else ()
         sharded = jax.shard_map(
             _local, mesh=mesh,
-            in_specs=(P(), P(), P(axis), P(axis), P(),
-                      LSConsts(P(), P(), P(), P()), P()),
-            out_specs=(P(), P()),
+            in_specs=base_in + ho_in,
+            out_specs=(P(), P()) + ((P(),) if ho_blocks else ()),
             check_vma=False)
         return jax.jit(sharded, donate_argnums=(0, 1))
 
     def call(gamma, lam, edges, mask, deg, consts, annealing,
-             n_sweeps: int, bf16_now: bool = False):
-        return build(int(n_sweeps), bool(bf16_now))(
-            gamma, lam, edges, mask, deg, consts, annealing)
+             n_sweeps: int, bf16_now: bool = False, ho=None):
+        if ho is None:
+            return build(int(n_sweeps), bool(bf16_now), 0)(
+                gamma, lam, edges, mask, deg, consts, annealing)
+        hp, hy, hw, eps, nb = ho
+        return build(int(n_sweeps), bool(bf16_now), int(nb))(
+            gamma, lam, edges, mask, deg, consts, annealing,
+            hp, hy, hw, eps)
 
     return call
 
@@ -147,12 +166,15 @@ def make_sharded_fused_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
     edge shard via packed [Elogpi | mphi] rows (README Roofline; parity
     pinned by tests/test_parity.py::test_lfr_fused_s3). Carries the
     replicated mphi between sweeps. bf16 stores the packed rows
-    half-width (-bf16); the edge pass casts back to f32 post-gather."""
+    half-width (-bf16); the edge pass casts back to f32 post-gather.
+    call(..., ho=(pairs, y, w, eps, nb)) appends the heldout-sums tail
+    (see make_sharded_multi_sweep)."""
     import jax.numpy as jnp
 
     @functools.lru_cache(maxsize=None)
-    def build(n_sweeps: int, bf16_on: bool):
-        def _local(gamma, lam, mphi, edges, mask, deg, consts, annealing):
+    def build(n_sweeps: int, bf16_on: bool, ho_blocks: int):
+        def _local(gamma, lam, mphi, edges, mask, deg, consts, annealing,
+                   *ho):
             from svinet_tpu.ops.expectations import dirichlet_expectation
 
             def body(_, state):
@@ -173,22 +195,35 @@ def make_sharded_fused_multi_sweep(mesh: Mesh, num_blocks_per_shard: int,
                 return gnext, finish_lambda(s1, s2, s3, lam0,
                                             consts), m_new
 
-            return jax.lax.fori_loop(0, n_sweeps, body,
-                                     (gamma, lam, mphi))
+            g, l, m = jax.lax.fori_loop(0, n_sweeps, body,
+                                        (gamma, lam, mphi))
+            if ho_blocks:
+                from svinet_tpu.evals.likelihood import heldout_sums_blocked
+                hp, hy, hw, eps = ho
+                return g, l, m, heldout_sums_blocked(
+                    g, l, hp, hy, hw, eps, ho_blocks)
+            return g, l, m
 
+        base_in = (P(), P(), P(), P(axis), P(axis), P(),
+                   LSConsts(P(), P(), P(), P()), P())
+        ho_in = (P(), P(), P(), P()) if ho_blocks else ()
         sharded = jax.shard_map(
             _local, mesh=mesh,
-            in_specs=(P(), P(), P(), P(axis), P(axis), P(),
-                      LSConsts(P(), P(), P(), P()), P()),
-            out_specs=(P(), P(), P()),
+            in_specs=base_in + ho_in,
+            out_specs=(P(), P(), P()) + ((P(),) if ho_blocks else ()),
             check_vma=False)
         return jax.jit(sharded, donate_argnums=(0, 1, 2))
 
     def call(gamma, lam, mphi, edges, mask, deg, consts, annealing,
-             n_sweeps: int, bf16_now: "bool | None" = None):
+             n_sweeps: int, bf16_now: "bool | None" = None, ho=None):
         use = bf16 if bf16_now is None else bool(bf16_now)
-        return build(int(n_sweeps), use)(gamma, lam, mphi, edges, mask,
-                                         deg, consts, annealing)
+        if ho is None:
+            return build(int(n_sweeps), use, 0)(
+                gamma, lam, mphi, edges, mask, deg, consts, annealing)
+        hp, hy, hw, eps, nb = ho
+        return build(int(n_sweeps), use, int(nb))(
+            gamma, lam, mphi, edges, mask, deg, consts, annealing,
+            hp, hy, hw, eps)
 
     return call
 

@@ -468,6 +468,8 @@ class LinkSampling(EngineBase):
             per_shard = es.shape[0] // nd
             self.edges, self.mask = device_put_sharded_edges(mesh, es, ms)
             rowshard = cfg.mesh_rowshard and n % nd == 0
+            self._rowshard = rowshard
+            self._mesh = mesh
             if cfg.mesh_rowshard and not rowshard:
                 print(f"+ -mesh-rowshard needs n % {nd} == 0; "
                       "falling back to replicated gamma")
@@ -554,7 +556,13 @@ class LinkSampling(EngineBase):
         self._ho_dev = None
         self._ho_res = None
         import jax as _jax
-        if _jax.process_count() == 1 and self._mesh_sweep is None:
+        # the heldout-sums tail rides every path with a full local gamma:
+        # single-device AND the replicated -mesh sweeps (each shard
+        # computes the identical sums, no collective). Row-sharded gamma
+        # would need an extra (n,K) all_gather per report — that path
+        # keeps the standalone eval over the global array.
+        if (_jax.process_count() == 1
+                and not getattr(self, "_rowshard", False)):
             m = len(network.validation_pairs)
             if m:
                 blk = min(1 << 17,
@@ -567,8 +575,14 @@ class LinkSampling(EngineBase):
                 yy[:m] = network.validation_y
                 ww = np.zeros(tot, np.float32)
                 ww[:m] = 1.0
-                self._ho_dev = (jnp.asarray(pp), jnp.asarray(yy),
-                                jnp.asarray(ww), nb)
+                hp, hy, hw = (jnp.asarray(pp), jnp.asarray(yy),
+                              jnp.asarray(ww))
+                if self._mesh_sweep is not None:
+                    from svinet_tpu.parallel.mesh import (
+                        device_put_replicated)
+                    hp, hy, hw = device_put_replicated(
+                        self._mesh, hp, hy, hw)
+                self._ho_dev = (hp, hy, hw, nb)
 
         if cfg.resume and self.try_restore():
             print(f"+ resumed from checkpoint at iteration {self.iteration}")
@@ -641,14 +655,31 @@ class LinkSampling(EngineBase):
         # the half-width gathers
         bf = bool(self.cfg.bf16_rows) and not self.annealing
         if self._mesh_sweep is not None:
+            ho = None
+            if self._ho_dev is not None:
+                hp, hy, hw, nb = self._ho_dev
+                ho = (hp, hy, hw, jnp.float32(self.cfg.epsilon), nb)
+            # ho only exists on the replicated builders; the rowsharded
+            # ones never see it (self._ho_dev is None under rowshard)
+            extra = (ho,) if ho is not None else ()
             if self.cfg.fuse_s3:
-                self.gamma, self.lam, self.mphi = self._mesh_sweep(
+                out = self._mesh_sweep(
                     self.gamma, self.lam, self.mphi, self.edges,
-                    self.mask, self.deg, self.consts, ann, n_sweeps, bf)
+                    self.mask, self.deg, self.consts, ann, n_sweeps, bf,
+                    *extra)
+                if ho is not None:
+                    (self.gamma, self.lam, self.mphi,
+                     self._ho_res) = out
+                else:
+                    self.gamma, self.lam, self.mphi = out
             else:
-                self.gamma, self.lam = self._mesh_sweep(
+                out = self._mesh_sweep(
                     self.gamma, self.lam, self.edges, self.mask,
-                    self.deg, self.consts, ann, n_sweeps, bf)
+                    self.deg, self.consts, ann, n_sweeps, bf, *extra)
+                if ho is not None:
+                    self.gamma, self.lam, self._ho_res = out
+                else:
+                    self.gamma, self.lam = out
             return
         if self.cfg.fuse_s3:
             # mphi carries across sweeps (zeros at init/resume: one

@@ -197,6 +197,16 @@ def test_cli_mesh_engine_matches_single_device(tmp_path, monkeypatch):
         return np.array([[float(v) for v in r[2:]] for r in rows])
     g1, g8 = load("one"), load("mesh")
     np.testing.assert_allclose(g8, g1, rtol=2e-4, atol=2e-3)
+    # the mesh run's heldout rows come from the fused heldout-sums TAIL
+    # of the sharded sweep program (round 4); they must match the
+    # single-device trace (same split, same state) within f32 tolerance
+    def ho_rows(label):
+        d = tmp_path / f"n75-k4-{label}-seed1-linksampling"
+        return np.array([[float(v) for v in l.split()[2:]]
+                         for l in open(d / "heldout.txt")])
+    h1, h8 = ho_rows("one"), ho_rows("mesh")
+    assert h8.shape == h1.shape and len(h8) >= 2
+    np.testing.assert_allclose(h8, h1, rtol=5e-4, atol=5e-4)
 
 
 def test_cli_mesh_rowshard_matches_single_device(tmp_path, monkeypatch):
