@@ -105,6 +105,10 @@ def parse_args(argv: List[str]) -> Config:
             cfg.findk = True
         elif a == "-single":
             cfg.single = True
+            # the reference couples -single with random zero sets: its
+            # neighborhood preprocessing for SBM uses RANDOM zeros, not
+            # the 2-hop informative walk (src/main.cc:191-193)
+            cfg.randzeros = True
         elif a == "-orig":
             cfg.orig = True
         elif a == "-itype":

@@ -205,23 +205,29 @@ def load_checkpoint(outdir: str, step: Optional[int] = None,
     very first save leaves a truncated npz/orbax dir and no `latest`
     pointer — the pointer itself is atomic) is skipped with a warning and
     the next older step on disk is tried, so -resume degrades to an older
-    checkpoint or a fresh start instead of crashing."""
+    checkpoint or a fresh start instead of crashing. An EXPLICIT step
+    request propagates its load error instead — the caller asked for
+    that exact state, so silently pretending no checkpoint exists would
+    restart from scratch while appending to the old report files."""
     path = os.path.abspath(os.path.join(outdir, "ckpt"))
     if step is not None:
-        candidates = [step]
-    else:
-        latest = latest_step(outdir)
-        if latest is None:
-            return None
-        older = ([s for s in _steps_on_disk(path) if s != latest]
-                 if os.path.isdir(path) else [])
-        candidates = [latest] + older[::-1]
-    for s in candidates:
+        return _load_step(path, step, shardings)
+    latest = latest_step(outdir)
+    if latest is None:
+        return None
+    older = ([s for s in _steps_on_disk(path) if s != latest]
+             if os.path.isdir(path) else [])
+    candidates = [latest] + older[::-1]
+    for i, s in enumerate(candidates):
         try:
             out = _load_step(path, s, shardings)
         except Exception as e:   # truncated npz / partial orbax dir
+            rest = candidates[i + 1:]
             print(f"+ checkpoint step {s} unreadable ({e!r}); "
-                  "trying an older one")
+                  + (f"falling back to step {rest[0]} — NOTE: report "
+                     "files already contain rows past it, the resumed "
+                     "trace will repeat those iterations"
+                     if rest else "no older step; starting fresh"))
             continue
         if out is not None:
             return out

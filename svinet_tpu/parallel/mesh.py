@@ -338,12 +338,12 @@ def sharded_nonuniform_weights(g, pairs, y, mask, infthresh: float,
     src/mmsbinfer.cc:1525-1700): category COUNTS (links / informative
     zeros / non-informative zeros) are psum'd so every kept pair carries
     the GLOBAL count weight, exactly as single-device. The per-sample
-    caps stay GLOBAL too: the single kept non-informative zero
-    (n2_max=1, src/mmsbinfer.cc:1571-1572) lives on shard 0, and the
-    0.1% informative-zero cap selects the first C = 0.001 * global-count
-    pairs in shard order via an exclusive cross-shard prefix (a
-    per-shard cap of the local count floors to ZERO whenever a shard
-    holds < 1000 informative zeros, dropping the whole category).
+    caps stay GLOBAL too: both the single kept non-informative zero
+    (n2_max=1, src/mmsbinfer.cc:1571-1572) and the 0.1%
+    informative-zero cap select the globally-FIRST pairs in shard order
+    via an exclusive cross-shard prefix — per-shard selections can miss
+    a category entirely (shard 0 holding no non-informative zero; a
+    local 0.1% cap flooring to zero below 1000 pairs/shard).
     Returns (weights, n_proc) with n_proc the GLOBAL processed-pair
     count feeding the rnode scale 3n/(2 n_proc)
     (src/mmsbinfer.cc:571-572); call only inside shard_map over `axis`."""
@@ -369,13 +369,20 @@ def sharded_nonuniform_weights(g, pairs, y, mask, infthresh: float,
     # the global count and select the first C informative zeros in shard
     # order via an exclusive cross-shard prefix of the local counts.
     n3_max = (0.001 * nz_inf).astype(jnp.int32)
-    counts = jax.lax.all_gather(inf_local.astype(jnp.int32), axis)
     me = jax.lax.axis_index(axis)
-    prefix = jnp.where(jnp.arange(counts.shape[0]) < me, counts, 0).sum()
-    shard0 = me == 0
-    sel_noninf = (noninf & shard0
-                  & (jnp.cumsum(noninf.astype(jnp.int32)) <= 1))
-    sel_inf = inf & (prefix + jnp.cumsum(inf.astype(jnp.int32)) <= n3_max)
+    shard_ix = jnp.arange(jax.lax.axis_size(axis))
+
+    def global_first(sel, cap):
+        """Keep the globally-FIRST `cap` selected pairs in shard order
+        (exclusive cross-shard prefix + local cumsum) — a per-shard
+        selection can miss the category entirely on the shards that
+        matter (e.g. shard 0 holding no non-informative zero)."""
+        counts = jax.lax.all_gather(sel.sum().astype(jnp.int32), axis)
+        prefix = jnp.where(shard_ix < me, counts, 0).sum()
+        return sel & (prefix + jnp.cumsum(sel.astype(jnp.int32)) <= cap)
+
+    sel_noninf = global_first(noninf, 1)          # n2_max = 1
+    sel_inf = global_first(inf, n3_max)
     w = (is_link.astype(f) * nones.astype(f)
          + sel_noninf.astype(f) * nz_noninf.astype(f)
          + sel_inf.astype(f) * nz_inf.astype(f))

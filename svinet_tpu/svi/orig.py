@@ -258,10 +258,15 @@ class MMSBOrig(EngineBase):
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
                 return
-            g_old = self.gamma if lf is not None else None
-            b_old = self.beta if lf is not None else None
+            # capture only when the step ENDS a report interval — the
+            # ELBO consumes g_old/b_old at report boundaries only, and
+            # the jnp.copy is a full (n,K) device allocation
+            want_elbo = (lf is not None
+                         and (self.iteration + 1) % cfg.reportfreq == 0)
+            g_old = self.gamma if want_elbo else None
+            b_old = self.beta if want_elbo else None
             self.gamma, self.beta = orig_batch_step(
-                jnp.copy(self.gamma) if lf is not None else self.gamma,
+                jnp.copy(self.gamma) if want_elbo else self.gamma,
                 self.beta, self.pairs, self.y, self.w,
                 jnp.float32(cfg.alpha), num_blocks=self.nb,
                 max_iters=cfg.online_iterations,

@@ -269,13 +269,19 @@ class SBM(EngineBase):
         self.mask = jnp.asarray(m)
         # EVERY split is excluded from the closed-form zero totals, like
         # edge_ok: a precision-set link left out of `held` would be
-        # counted as a nonlink in the lambda M-step
+        # counted as a nonlink in the lambda M-step. Deduplicate by pair
+        # key — a pair present in two splits (e.g. a -load-test file
+        # overlapping the sampled validation split) must be subtracted
+        # exactly once from the totals
         held = np.concatenate(
             [network.validation_pairs.reshape(-1, 2),
              network.heldout_pairs.reshape(-1, 2),
              network.test_pairs.reshape(-1, 2),
              network.precision_pairs.reshape(-1, 2)],
             axis=0).astype(np.int32)
+        if len(held):
+            keys = held[:, 0].astype(np.int64) * n + held[:, 1]
+            held = held[np.sort(np.unique(keys, return_index=True)[1])]
         ce, cm = chunk_incident_pairs(network.training_links)
         self.chunk_edges = jnp.asarray(ce)
         self.chunk_emask = jnp.asarray(cm)
