@@ -746,6 +746,11 @@ def test_corrupt_checkpoint_falls_back_to_older(tmp_path):
     state = load_checkpoint(str(tmp_path / "run"))
     assert state is not None and int(state["iteration"]) == 1
     np.testing.assert_array_equal(state["gamma"], good["gamma"])
+    # an EXPLICIT step request propagates the load error (the caller
+    # asked for that exact state; silently returning None would restart
+    # from iteration 0 while appending to the old report files)
+    with pytest.raises(Exception):
+        load_checkpoint(str(tmp_path / "run"), step=2)
     # only corrupt steps on disk -> clean None (fresh start)
     (ck / "1.npz").unlink()
     (ck / "1.meta.json").unlink()
