@@ -41,6 +41,9 @@ svinet [OPTIONS]
 \t-gml\t\tgenerate a GML visualization of link communities
 \t-nmi <file>\tground-truth communities file; logs NMI per report
 \t-rfreq <R>\treport/convergence frequency in iterations
+\t-report-batch <B>\tfuse B report boundaries per device dispatch
+\t\t(link-sampling; exact per-boundary heldout rows, stop/anneal
+\t\tdecisions land up to B-1 sweeps late)
 \t-max-iterations <M>\tmaximum iterations (use with -no-stop)
 \t-no-stop\tdisable stopping criteria
 \t-seed <S>\trandom seed
@@ -164,6 +167,8 @@ def parse_args(argv: List[str]) -> Config:
         elif a == "-rfreq":
             cfg.reportfreq = int(nxt())
             rfreq_set = True
+        elif a == "-report-batch":
+            cfg.report_batch = int(nxt())
         elif a == "-max-iterations":
             cfg.max_iterations = int(nxt())
         elif a == "-no-stop":

@@ -48,6 +48,11 @@ class Config:
     stopthresh: float = 1e-5
     use_validation_stop: bool = True
     reportfreq: int = 1
+    report_batch: int = 1           # -report-batch B: B report boundaries
+                                    # per device dispatch (LinkSampling;
+                                    # exact per-boundary heldout rows,
+                                    # stop/anneal decisions replay up to
+                                    # B-1 sweeps late)
     max_iterations: int = 0         # 0 = unlimited
     link_thresh: float = 0.5
     lt_min_deg: int = 0

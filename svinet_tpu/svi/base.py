@@ -436,11 +436,12 @@ class EngineBase:
         if not self._dual:
             self._vf.write(self.iteration, self.duration(), res,
                            cfg.zeros_prob, cfg.ones_prob)
-        if self._tf is not None:
+        light = getattr(self, "_light_report", False)
+        if self._tf is not None and not light:
             tres = self._heldout(self.test_pairs, self.test_y)
             self._tf.write(self.iteration, self.duration(), tres,
                            cfg.zeros_prob, cfg.ones_prob)
-        if self._train_sample is not None:
+        if self._train_sample is not None and not light:
             tp, ty = self._train_sample
             trres = self._heldout(tp, ty)
             self._trf.write(self.iteration, self.duration(), trres,
@@ -497,7 +498,8 @@ class EngineBase:
         # -nmi the reference only needs communities at stop, so huge runs
         # skip the ~200s/report extraction (29M-edge argmax + host count
         # at the n=1M stretch). do_on_stop always writes them.
-        if self._mutual is not None or self.n * self.k <= (1 << 24):
+        if ((self._mutual is not None or self.n * self.k <= (1 << 24))
+                and not light):
             self.log_communities()
         if not getattr(self, "defer_report_hooks", False):
             self._end_of_report()

@@ -189,6 +189,52 @@ def linksampling_fused_multi_sweep_ho(gamma, lam, mphi, edges, mask, deg,
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("num_blocks", "r", "n_batches",
+                                    "ho_blocks", "bf16", "fused"))
+def linksampling_sweep_ho_trace(gamma, lam, mphi, edges, mask, deg,
+                                consts: LSConsts, annealing,
+                                ho_pairs, ho_y, ho_w, eps,
+                                num_blocks: int, r: int, n_batches: int,
+                                ho_blocks: int, bf16: bool = False,
+                                fused: bool = False):
+    """-report-batch: n_batches REPORT BOUNDARIES per device dispatch,
+    each r sweeps apart, returning the six heldout sums evaluated at
+    EVERY boundary state — a (n_batches, 6) trace. The host replays the
+    rows through the normal report path, so heldout.txt/max.txt and the
+    stopping rule keep their exact per-boundary values while the
+    dispatch count drops by n_batches (through a remote-TPU tunnel the
+    default rfreq=1 run is dispatch-bound, not compute-bound: AstroPh
+    e2e measured 759 s of wall clock over ~7 s of on-chip sweep time).
+    Costs: annealing/stop decisions replay AFTER the batch computed, so
+    a mid-batch annealing flip or stop lands up to n_batches-1 sweeps
+    late (the extra sweeps only converge the state further). fused
+    selects the -fuse-s3 body (mphi carried; pass zeros otherwise)."""
+    from svinet_tpu.evals.likelihood import heldout_sums_blocked
+
+    def batch(state, _):
+        g, l, m = state
+        def body(_, st):
+            gg, ll, mm = st
+            if fused:
+                gn, ln, mn = _fused_sweep_body(
+                    gg, ll, mm, edges, mask, deg, consts, annealing,
+                    num_blocks, bf16)
+            else:
+                gn, ln = _sweep_body(gg, ll, edges, mask, deg, consts,
+                                     annealing, num_blocks, False, bf16)
+                mn = mm
+            return gn, ln, mn
+        g, l, m = jax.lax.fori_loop(0, r, body, (g, l, m))
+        sums = heldout_sums_blocked(g, l, ho_pairs, ho_y, ho_w, eps,
+                                    ho_blocks)
+        return (g, l, m), sums
+
+    (g, l, m), trace = jax.lax.scan(batch, (gamma, lam, mphi), None,
+                                    length=n_batches)
+    return g, l, m, trace
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
                    static_argnames=("num_blocks", "n_sweeps", "freeze",
                                     "bf16", "ho_blocks"))
 def linksampling_multi_sweep_ho(gamma, lam, edges, mask, deg,
@@ -825,8 +871,10 @@ class LinkSampling(EngineBase):
         (reference: src/linksampling.cc:1036-1043)."""
         self._expand_if_compacted()
         stop = super().report()
-        self._log_convergence()
-        if self._test_sets:
+        light = getattr(self, "_light_report", False)
+        if not light:
+            self._log_convergence()
+        if self._test_sets and not light:
             from svinet_tpu.evals.likelihood import heldout_stats
             eg, el = self._eval_arrays()
             for name, pairs, ys, rf in self._test_sets:
@@ -990,6 +1038,57 @@ class LinkSampling(EngineBase):
             return
         self._infer_loop(max_seconds)
 
+    def _trace_intervals(self, j: int, r: int, B: int, timef,
+                         last_t: float) -> bool:
+        """-report-batch: run B report intervals (r sweeps each) in ONE
+        dispatch via linksampling_sweep_ho_trace, then replay the B
+        heldout-sum rows through the normal report path in order. The
+        rows are the EXACT per-boundary values; stop/annealing decisions
+        land up to B-1 intervals late (the extra sweeps only converge
+        the state further), and the heavyweight per-report extras
+        (community extraction, convergence log, test-set evals,
+        training-sample rows) run on the batch's final row only.
+        Returns True when the run stopped."""
+        cfg = self.cfg
+        import time as _time
+        ann = jnp.float32(1.0 if self.annealing else 0.0)
+        bf = bool(cfg.bf16_rows) and not self.annealing
+        b_eff = B
+        if cfg.max_iterations:
+            b_eff = min(B, (cfg.max_iterations - j) // r + 1)
+        hp, hy, hw, nb = self._ho_dev
+        if cfg.fuse_s3:
+            if not hasattr(self, "mphi"):
+                self.mphi = jnp.zeros((self.n, self.k), jnp.float32)
+            m_in = self.mphi
+        else:
+            m_in = jnp.zeros((1, 1), jnp.float32)
+        g, l, m, trace = linksampling_sweep_ho_trace(
+            self.gamma, self.lam, m_in, self.edges, self.mask, self.deg,
+            self.consts, ann, hp, hy, hw, jnp.float32(cfg.epsilon),
+            self.num_blocks, r, b_eff, nb, bf, bool(cfg.fuse_s3))
+        self.gamma, self.lam = g, l
+        if cfg.fuse_s3:
+            self.mphi = m
+        rows = np.asarray(trace)          # one host transfer for B rows
+        now = _time.time()
+        timef.write(f"{j + (b_eff - 1) * r}\t"
+                    f"{(now - last_t) / (b_eff * r):.6f}\t"
+                    f"{self.duration()}\n")
+        timef.flush()
+        for idx in range(b_eff):
+            jb = j + idx * r
+            self.iteration = jb
+            self._ho_res = rows[idx]
+            self._light_report = idx < b_eff - 1
+            stop = self.report()
+            self._light_report = False
+            if stop:
+                self.do_on_stop(next_iteration=jb + 1)
+                return True
+        self.iteration = j + (b_eff - 1) * r + 1
+        return False
+
     def _infer_loop(self, max_seconds: Optional[float] = None) -> None:
         cfg = self.cfg
         # per-chunk wall-clock trace (reference: time.txt/stats.txt,
@@ -1004,6 +1103,15 @@ class LinkSampling(EngineBase):
             # uninterrupted run never saw
             self.report()
             self.iteration = 1   # next report boundary is r, not 0 again
+        # -report-batch B: B boundaries per dispatch with exact
+        # per-boundary heldout rows (single-device paths only; -freeze
+        # carries conv state the trace body doesn't thread, and -prune
+        # compaction is skipped under batching — its trigger regime is
+        # empty on real fits anyway)
+        B = max(1, int(getattr(cfg, "report_batch", 1)))
+        use_trace = (B > 1 and self._ho_dev is not None
+                     and self._mesh_sweep is None
+                     and not cfg.freeze_converged)
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
@@ -1014,6 +1122,12 @@ class LinkSampling(EngineBase):
             if cfg.max_iterations:
                 j = min(j, cfg.max_iterations)
             todo = j - self.iteration + 1
+            if use_trace and todo == r and self._compact is None:
+                done = self._trace_intervals(j, r, B, timef, last_t)
+                last_t = time.time()
+                if done:
+                    return
+                continue
             self.step(todo)
             now = time.time()
             timef.write(f"{j}\t{(now - last_t) / todo:.6f}\t"

@@ -755,3 +755,45 @@ def test_corrupt_checkpoint_falls_back_to_older(tmp_path):
     (ck / "1.npz").unlink()
     (ck / "1.meta.json").unlink()
     assert load_checkpoint(str(tmp_path / "run")) is None
+
+
+def test_report_batch_matches_unbatched(tmp_path, assort_path):
+    """-report-batch B fuses B report boundaries into one dispatch while
+    replaying EXACT per-boundary heldout rows: for a horizon where
+    annealing never flips (identical sweep trajectories), heldout.txt
+    and max.txt must match the unbatched run bit-for-bit; the light
+    replay rows skip the per-report extras, so communities/convergence
+    traces run at batch cadence (documented)."""
+    from svinet_tpu.svi.linksampling import LinkSampling
+
+    def run(label, batch):
+        cfg = Config(n=75, k=4, link_sampling=True, seed=1,
+                     report_batch=batch, outdir=str(tmp_path / label),
+                     max_iterations=12, use_validation_stop=False,
+                     reportfreq=1)
+        cfg.resolve()
+        net = Network(cfg)
+        net.read(assort_path)
+        eng = LinkSampling(cfg, net)
+        eng.infer()
+        return cfg
+
+    c1 = run("b1", 1)
+    c4 = run("b4", 4)
+
+    def rows(cfg, name):
+        return np.array([[float(v) for v in l.split()]
+                         for l in open(cfg.file_str(name))])
+
+    h1, h4 = rows(c1, "heldout.txt"), rows(c4, "heldout.txt")
+    # same boundaries, same per-boundary values (different XLA programs
+    # reduce in different orders, so equality is to f32 resolution, not
+    # bitwise)
+    assert h1.shape == h4.shape and len(h1) == 13
+    np.testing.assert_array_equal(h1[:, 0], h4[:, 0])   # iterations
+    np.testing.assert_allclose(h4[:, 2:], h1[:, 2:], rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(rows(c4, "max.txt")[:, 2:],
+                               rows(c1, "max.txt")[:, 2:],
+                               rtol=2e-5, atol=2e-6)
+    g1, g4 = rows(c1, "gamma.txt"), rows(c4, "gamma.txt")
+    np.testing.assert_allclose(g4[:, 2:], g1[:, 2:], rtol=2e-4, atol=2e-4)
