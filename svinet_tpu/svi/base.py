@@ -512,7 +512,15 @@ class EngineBase:
         defer_report_hooks = True and call this themselves, so the
         checkpoint snapshots the post-decision state — a snapshot taken
         mid-report resumes with a stopper that was updated but an
-        annealing history that wasn't."""
+        annealing history that wasn't.
+
+        Skipped on -report-batch light replay rows: the engine state is
+        the BATCH-final one, so a checkpoint keyed to an earlier row's
+        iteration would resume by re-running sweeps on an
+        already-advanced state; the batch's final row fires both hooks
+        with a consistent (iteration, state) pair."""
+        if getattr(self, "_light_report", False):
+            return
         self._maybe_periodic_checkpoint()
         if self.terminate_requested:
             # SIGTERM: save everything and keep running

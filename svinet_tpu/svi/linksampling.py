@@ -806,7 +806,11 @@ class LinkSampling(EngineBase):
         never re-enter (phi is only computed over active columns)."""
         cfg = self.cfg
         if (not cfg.prune or self.annealing
-                or self._mesh_sweep is not None):
+                or self._mesh_sweep is not None
+                or getattr(self, "_light_report", False)):
+            # light replay rows (-report-batch) must not compact: the
+            # state belongs to the batch's final iteration and the
+            # trigger probe is a device dispatch per row
             return
         from svinet_tpu.io.checkpoint import host_read
         act = host_read(_active_cols(self.gamma, self.consts.alpha))
