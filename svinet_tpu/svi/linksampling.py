@@ -1120,6 +1120,12 @@ class LinkSampling(EngineBase):
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
                 return
+            # the time budget gates BOTH paths (the -report-batch branch
+            # `continue`s before the loop tail)
+            if (max_seconds is not None
+                    and time.time() - self._start > max_seconds):
+                self.do_on_stop()
+                return
             # run every sweep up to the next report boundary in ONE device
             # call (reports fire at iterations 0, r, 2r, ...)
             j = ((self.iteration + r - 1) // r) * r
@@ -1146,6 +1152,3 @@ class LinkSampling(EngineBase):
                     self.do_on_stop(next_iteration=j + 1)
                     return
             self.iteration = j + 1
-            if max_seconds is not None and time.time() - self._start > max_seconds:
-                self.do_on_stop()
-                return
