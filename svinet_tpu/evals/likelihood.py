@@ -91,6 +91,16 @@ def heldout_sums_blocked(gamma, lam, pairs, y, w, epsilon,
     (each ~8 ms through the remote-TPU tunnel; round-3 review item)."""
     pi = gamma / gamma.sum(axis=1, keepdims=True)
     beta = lam[:, 0] / (lam[:, 0] + lam[:, 1])
+    return heldout_sums_from_pi(pi, beta, pairs, y, w, epsilon,
+                                num_blocks)
+
+
+def heldout_sums_from_pi(pi, beta, pairs, y, w, epsilon,
+                         num_blocks: int) -> jax.Array:
+    """heldout_sums_blocked over an already-normalized pi table whose
+    rows `pairs` index. The row-sharded sweep tails feed a COMPACT table
+    of just the heldout-touched pi rows (all_gathered boundary table,
+    parallel/mesh.py) instead of the full (n,K) pi."""
     pb = pairs.reshape(num_blocks, -1, 2)
     yb = y.reshape(num_blocks, -1)
     wb = w.reshape(num_blocks, -1)

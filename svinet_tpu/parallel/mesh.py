@@ -290,6 +290,174 @@ def make_rowsharded_fused_multi_sweep(mesh: Mesh,
     return call
 
 
+def make_mesh_trace_sweep(mesh: Mesh, num_blocks_per_shard: int,
+                          fused: bool, rowshard: bool,
+                          axis: str = "edges") -> Callable:
+    """-report-batch for the mesh paths: n_batches report boundaries per
+    device dispatch, each r sweeps apart, with the six validation heldout
+    sums evaluated at EVERY boundary — the mesh form of
+    linksampling_sweep_ho_trace (svi/linksampling.py). One builder covers
+    all four sharded layouts (fused x rowshard); with n_batches=1 it is
+    the ho-tailed multi-sweep, so every mesh report boundary costs ONE
+    dispatch (round-4 review: the -mesh/-mesh-rowshard paths paid
+    sweep-then-eval per boundary, ~8 ms each through the tunnel).
+
+    Replicated layouts evaluate the sums redundantly per shard (gamma is
+    replicated — no collective). Row-sharded gamma instead builds a
+    COMPACT pi table of just the heldout-touched rows: each shard
+    extracts its owned rows (host-precomputed index `hidx`, Hmax slots
+    per shard), one (d*Hmax, K) all_gather replaces the (n, K) gather
+    the standalone eval needs, the PAIRS are sharded too, and the six
+    sums psum-reduce — the touched-rows form of the reference's
+    "only touched nodes" reduce (src/mmsbinfer.cc:1802-1808) applied to
+    the eval path."""
+    import jax.numpy as jnp
+
+    @functools.lru_cache(maxsize=None)
+    def build(r: int, n_batches: int, bf16_on: bool, ho_blocks: int):
+        def _local(gamma, lam, mphi, edges, mask, deg, consts, annealing,
+                   hidx, hpairs, hy, hw, eps):
+            from svinet_tpu.ops.expectations import dirichlet_expectation
+            from svinet_tpu.evals.likelihood import heldout_sums_from_pi
+
+            def sweep(_, state):
+                g, l, m = state
+                elogbeta = dirichlet_expectation(l)
+                if fused:
+                    local_rows = jnp.concatenate(
+                        [dirichlet_expectation(g), m], axis=1)
+                    if bf16_on:
+                        local_rows = local_rows.astype(jnp.bfloat16)
+                    packed = (jax.lax.all_gather(local_rows, axis,
+                                                 tiled=True)
+                              if rowshard else local_rows)
+                    gacc_full, sumk, s3 = fused_phi_s3_pass(
+                        packed, elogbeta[:, 0], edges, mask,
+                        num_blocks_per_shard)
+                    sumk = jax.lax.psum(sumk, axis)
+                    s3 = jax.lax.psum(s3, axis)
+                    if rowshard:
+                        gacc = jax.lax.psum_scatter(
+                            gacc_full, axis, scatter_dimension=0,
+                            tiled=True)
+                    else:
+                        gacc = jax.lax.psum(gacc_full, axis)
+                    gnext, m_new, s1, s2, lam0 = mean_indicator_update(
+                        gacc, sumk, deg, consts, annealing)
+                    if rowshard:
+                        s1 = jax.lax.psum(s1, axis)
+                        s2 = jax.lax.psum(s2, axis)
+                    return gnext, finish_lambda(s1, s2, s3, lam0,
+                                                consts), m_new
+                elogpi_l = dirichlet_expectation(g)
+                if bf16_on:
+                    elogpi_l = elogpi_l.astype(jnp.bfloat16)
+                elogpi = (jax.lax.all_gather(elogpi_l, axis, tiled=True)
+                          if rowshard else elogpi_l)
+                gacc_full, sumk = phi_pass(elogpi, elogbeta[:, 0], edges,
+                                           mask, num_blocks_per_shard)
+                sumk = jax.lax.psum(sumk, axis)
+                if rowshard:
+                    gacc = jax.lax.psum_scatter(
+                        gacc_full, axis, scatter_dimension=0, tiled=True)
+                else:
+                    gacc = jax.lax.psum(gacc_full, axis)
+                gnext, mphi_l, s1, s2, lam0 = mean_indicator_update(
+                    gacc, sumk, deg, consts, annealing)
+                if rowshard:
+                    s1 = jax.lax.psum(s1, axis)
+                    s2 = jax.lax.psum(s2, axis)
+                if bf16_on:
+                    mphi_l = mphi_l.astype(jnp.bfloat16)
+                mphi_full = (jax.lax.all_gather(mphi_l, axis, tiled=True)
+                             if rowshard else mphi_l)
+                s3 = jax.lax.psum(
+                    s3_pass(mphi_full, edges, mask, num_blocks_per_shard),
+                    axis)
+                return gnext, finish_lambda(s1, s2, s3, lam0, consts), m
+
+            def batch(state, _):
+                g, l, m = jax.lax.fori_loop(0, r, sweep, state)
+                beta = l[:, 0] / (l[:, 0] + l[:, 1])
+                pi_l = g / g.sum(axis=1, keepdims=True)
+                if rowshard:
+                    rows = jnp.take(pi_l, hidx, axis=0, mode="clip")
+                    table = jax.lax.all_gather(rows, axis, tiled=True)
+                    sums = jax.lax.psum(
+                        heldout_sums_from_pi(table, beta, hpairs, hy, hw,
+                                             eps, ho_blocks), axis)
+                else:
+                    sums = heldout_sums_from_pi(pi_l, beta, hpairs, hy,
+                                                hw, eps, ho_blocks)
+                return (g, l, m), sums
+
+            (g, l, m), trace = jax.lax.scan(batch, (gamma, lam, mphi),
+                                            None, length=n_batches)
+            return g, l, m, trace
+
+        row = P(axis) if rowshard else P()
+        mspec = row if fused else P()
+        ho_specs = ((P(axis), P(axis), P(axis), P(axis), P())
+                    if rowshard else (P(), P(), P(), P(), P()))
+        sharded = jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(row, P(), mspec, P(axis), P(axis), row,
+                      LSConsts(P(), P(), P(), P()), P()) + ho_specs,
+            out_specs=(row, P(), mspec, P()),
+            check_vma=False)
+        return jax.jit(sharded, donate_argnums=(0, 1, 2))
+
+    def call(gamma, lam, mphi, edges, mask, deg, consts, annealing, ho,
+             r: int, n_batches: int, bf16_now: bool = False):
+        hidx, hp, hy, hw, eps, nb = ho
+        return build(int(r), int(n_batches), bool(bf16_now), int(nb))(
+            gamma, lam, mphi, edges, mask, deg, consts, annealing,
+            hidx, hp, hy, hw, eps)
+
+    return call
+
+
+def rowshard_heldout_layout(pairs: np.ndarray, y: np.ndarray, n: int,
+                            n_shards: int):
+    """Host-side layout for the row-sharded heldout tail: the compact
+    pi-row table + sharded pair set consumed by make_mesh_trace_sweep's
+    rowshard branch.
+
+    Returns (hidx (d*Hmax,) local-row indices per table slot,
+    pairs_sh (d*per, 2) table-slot pairs, y_sh, w_sh, nb) where nb is
+    the per-shard scan block count. Slots/pairs are zero-padded
+    (weight 0); every real pair's endpoints are remapped to table slots
+    so the device never touches node ids."""
+    rows_per = n // n_shards
+    uniq = np.unique(pairs)
+    if len(uniq) == 0:
+        uniq = np.zeros(1, pairs.dtype)
+    owner = uniq // rows_per
+    counts = np.bincount(owner, minlength=n_shards)
+    hmax = max(int(counts.max()), 1)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(uniq)) - starts[owner]
+    slot = (owner * hmax + rank).astype(np.int64)
+    hidx = np.zeros(n_shards * hmax, np.int32)
+    hidx[slot] = (uniq - owner * rows_per).astype(np.int32)
+    mapped = slot[np.searchsorted(uniq, pairs)].astype(np.int32)
+
+    m = len(pairs)
+    per = -(-max(m, 1) // n_shards)
+    blk = min(1 << 17, max(64, 1 << int(np.ceil(np.log2(per)))))
+    nb = -(-per // blk)
+    tot = nb * blk
+    pp = np.zeros((n_shards * tot, 2), np.int32)
+    yy = np.zeros(n_shards * tot, np.int32)
+    ww = np.zeros(n_shards * tot, np.float32)
+    idx = np.array_split(np.arange(m), n_shards)
+    for s, ids in enumerate(idx):
+        pp[s * tot: s * tot + len(ids)] = mapped[ids]
+        yy[s * tot: s * tot + len(ids)] = y[ids]
+        ww[s * tot: s * tot + len(ids)] = 1.0
+    return hidx, pp, yy, ww, nb
+
+
 def global_put(arr, sharding):
     """device_put that also works under multi-process JAX: when the
     sharding spans devices of other processes, build the global jax.Array

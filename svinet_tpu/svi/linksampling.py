@@ -495,6 +495,7 @@ class LinkSampling(EngineBase):
         # (the TPU equivalent of the reference's pthread map-reduce,
         # src/mmsbinfer.cc:2400-2550)
         self._mesh_sweep = None
+        self._mesh_trace = None
         # -mesh 1 -mesh-rowshard is allowed: a 1-device mesh with
         # degenerate collectives, used to exercise the row-sharded
         # large-n path (and its sharded checkpoints) on a single chip
@@ -563,6 +564,13 @@ class LinkSampling(EngineBase):
                     self._mesh_shardings["mphi"] = repl
             self.consts = LSConsts(*device_put_replicated(
                 mesh, *self.consts))
+            # ho-tailed trace program for EVERY mesh layout: one dispatch
+            # per report boundary (and -report-batch B of them per
+            # dispatch) — see make_mesh_trace_sweep
+            from svinet_tpu.parallel.mesh import make_mesh_trace_sweep
+            self._mesh_trace = make_mesh_trace_sweep(
+                mesh, per_shard // block, fused=bool(cfg.fuse_s3),
+                rowshard=rowshard)
             del self._ce_cache      # communities rebuild a local pad
             cfg.plog("mesh devices", nd)
             cfg.plog("mesh rowshard", rowshard)
@@ -597,20 +605,30 @@ class LinkSampling(EngineBase):
                                 append=bool(cfg.resume))))
 
         # fold the validation heldout eval into the sweep program's tail
-        # (single-process, single-device paths): pad the pair set once to
-        # whole blocks so every report interval runs ONE device program
+        # (single-process paths): pad the pair set once to whole blocks so
+        # every report interval runs ONE device program. Row-sharded gamma
+        # gets the COMPACT heldout-row table (rowshard_heldout_layout):
+        # its tail all_gathers only the heldout-touched pi rows and
+        # psums the sharded-pair sums instead of gathering (n,K).
         self._ho_dev = None
+        self._ho_mesh = None
         self._ho_res = None
         import jax as _jax
-        # the heldout-sums tail rides every path with a full local gamma:
-        # single-device AND the replicated -mesh sweeps (each shard
-        # computes the identical sums, no collective). Row-sharded gamma
-        # would need an extra (n,K) all_gather per report — that path
-        # keeps the standalone eval over the global array.
-        if (_jax.process_count() == 1
-                and not getattr(self, "_rowshard", False)):
+        if _jax.process_count() == 1:
             m = len(network.validation_pairs)
-            if m:
+            if m and getattr(self, "_rowshard", False):
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from svinet_tpu.parallel.mesh import (
+                    rowshard_heldout_layout, global_put)
+                hidx, pp, yy, ww, nb = rowshard_heldout_layout(
+                    network.validation_pairs,
+                    network.validation_y.astype(np.int32), n,
+                    cfg.mesh_devices)
+                row = NamedSharding(self._mesh, P("edges"))
+                self._ho_mesh = tuple(
+                    global_put(a, row) for a in (hidx, pp, yy, ww)
+                ) + (nb,)
+            elif m:
                 blk = min(1 << 17,
                           max(64, 1 << int(np.ceil(np.log2(m)))))
                 nb = (m + blk - 1) // blk
@@ -626,9 +644,11 @@ class LinkSampling(EngineBase):
                 if self._mesh_sweep is not None:
                     from svinet_tpu.parallel.mesh import (
                         device_put_replicated)
-                    hp, hy, hw = device_put_replicated(
-                        self._mesh, hp, hy, hw)
-                self._ho_dev = (hp, hy, hw, nb)
+                    hp, hy, hw, hidx = device_put_replicated(
+                        self._mesh, hp, hy, hw, np.zeros(1, np.int32))
+                    self._ho_mesh = (hidx, hp, hy, hw, nb)
+                else:
+                    self._ho_dev = (hp, hy, hw, nb)
 
         if cfg.resume and self.try_restore():
             print(f"+ resumed from checkpoint at iteration {self.iteration}")
@@ -701,31 +721,31 @@ class LinkSampling(EngineBase):
         # the half-width gathers
         bf = bool(self.cfg.bf16_rows) and not self.annealing
         if self._mesh_sweep is not None:
-            ho = None
-            if self._ho_dev is not None:
-                hp, hy, hw, nb = self._ho_dev
-                ho = (hp, hy, hw, jnp.float32(self.cfg.epsilon), nb)
-            # ho only exists on the replicated builders; the rowsharded
-            # ones never see it (self._ho_dev is None under rowshard)
-            extra = (ho,) if ho is not None else ()
+            if self._ho_mesh is not None:
+                # ho-tailed trace program with n_batches=1: EVERY mesh
+                # layout (replicated/rowshard x fused/unfused) reports in
+                # one dispatch
+                hidx, hp, hy, hw, nb = self._ho_mesh
+                ho = (hidx, hp, hy, hw,
+                      jnp.float32(self.cfg.epsilon), nb)
+                m_in = (self.mphi if self.cfg.fuse_s3
+                        else jnp.zeros((1, 1), jnp.float32))
+                g, l, m, trace = self._mesh_trace(
+                    self.gamma, self.lam, m_in, self.edges, self.mask,
+                    self.deg, self.consts, ann, ho, n_sweeps, 1, bf)
+                self.gamma, self.lam = g, l
+                if self.cfg.fuse_s3:
+                    self.mphi = m
+                self._ho_res = trace[0]
+                return
             if self.cfg.fuse_s3:
-                out = self._mesh_sweep(
+                (self.gamma, self.lam, self.mphi) = self._mesh_sweep(
                     self.gamma, self.lam, self.mphi, self.edges,
-                    self.mask, self.deg, self.consts, ann, n_sweeps, bf,
-                    *extra)
-                if ho is not None:
-                    (self.gamma, self.lam, self.mphi,
-                     self._ho_res) = out
-                else:
-                    self.gamma, self.lam, self.mphi = out
+                    self.mask, self.deg, self.consts, ann, n_sweeps, bf)
             else:
-                out = self._mesh_sweep(
+                self.gamma, self.lam = self._mesh_sweep(
                     self.gamma, self.lam, self.edges, self.mask,
-                    self.deg, self.consts, ann, n_sweeps, bf, *extra)
-                if ho is not None:
-                    self.gamma, self.lam, self._ho_res = out
-                else:
-                    self.gamma, self.lam = out
+                    self.deg, self.consts, ann, n_sweeps, bf)
             return
         if self.cfg.fuse_s3:
             # mphi carries across sweeps (zeros at init/resume: one
@@ -1060,17 +1080,26 @@ class LinkSampling(EngineBase):
         b_eff = B
         if cfg.max_iterations:
             b_eff = min(B, (cfg.max_iterations - j) // r + 1)
-        hp, hy, hw, nb = self._ho_dev
         if cfg.fuse_s3:
             if not hasattr(self, "mphi"):
                 self.mphi = jnp.zeros((self.n, self.k), jnp.float32)
             m_in = self.mphi
         else:
             m_in = jnp.zeros((1, 1), jnp.float32)
-        g, l, m, trace = linksampling_sweep_ho_trace(
-            self.gamma, self.lam, m_in, self.edges, self.mask, self.deg,
-            self.consts, ann, hp, hy, hw, jnp.float32(cfg.epsilon),
-            self.num_blocks, r, b_eff, nb, bf, bool(cfg.fuse_s3))
+        if self._ho_mesh is not None:
+            # mesh layouts route through the sharded trace program
+            hidx, hp, hy, hw, nb = self._ho_mesh
+            ho = (hidx, hp, hy, hw, jnp.float32(cfg.epsilon), nb)
+            g, l, m, trace = self._mesh_trace(
+                self.gamma, self.lam, m_in, self.edges, self.mask,
+                self.deg, self.consts, ann, ho, r, b_eff, bf)
+        else:
+            hp, hy, hw, nb = self._ho_dev
+            g, l, m, trace = linksampling_sweep_ho_trace(
+                self.gamma, self.lam, m_in, self.edges, self.mask,
+                self.deg, self.consts, ann, hp, hy, hw,
+                jnp.float32(cfg.epsilon), self.num_blocks, r, b_eff, nb,
+                bf, bool(cfg.fuse_s3))
         self.gamma, self.lam = g, l
         if cfg.fuse_s3:
             self.mphi = m
@@ -1108,13 +1137,15 @@ class LinkSampling(EngineBase):
             self.report()
             self.iteration = 1   # next report boundary is r, not 0 again
         # -report-batch B: B boundaries per dispatch with exact
-        # per-boundary heldout rows (single-device paths only; -freeze
-        # carries conv state the trace body doesn't thread, and -prune
-        # compaction is skipped under batching — its trigger regime is
-        # empty on real fits anyway)
+        # per-boundary heldout rows — single-device AND every -mesh
+        # layout (round-4 review item; -freeze carries conv state the
+        # trace body doesn't thread, and -prune compaction is skipped
+        # under batching — its trigger regime is empty on real fits
+        # anyway)
         B = max(1, int(getattr(cfg, "report_batch", 1)))
-        use_trace = (B > 1 and self._ho_dev is not None
-                     and self._mesh_sweep is None
+        use_trace = (B > 1
+                     and (self._ho_dev is not None
+                          or self._ho_mesh is not None)
                      and not cfg.freeze_converged)
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:

@@ -568,3 +568,69 @@ def test_sharded_nonuniform_inf_cap_is_global():
     assert int(np1) > int((y == 1).sum()), "cap never engaged"
     assert int(np8) == int(np1)
     np.testing.assert_array_equal(np.asarray(w8), np.asarray(w1))
+
+
+def test_cli_mesh_report_batch_matches_single_trace(tmp_path, monkeypatch):
+    """-mesh 8 -report-batch 4 (and -mesh 5 -mesh-rowshard -report-batch
+    4) route through make_mesh_trace_sweep: B report boundaries per
+    dispatch with exact per-boundary heldout rows. Both must match the
+    single-device -report-batch trace row-for-row (round-4 review: the
+    mesh paths previously paid one dispatch per boundary; rowshard
+    lacked even the heldout tail)."""
+    import numpy as np
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    for label, extra in (("tone", []), ("tmesh", ["-mesh", "8"]),
+                         ("trs", ["-mesh", "5", "-mesh-rowshard"])):
+        rc = main(["-file", assort, "-n", "75", "-k", "4",
+                   "-link-sampling", "-label", label, "-seed", "1",
+                   "-max-iterations", "12", "-no-stop", "-rfreq", "1",
+                   "-report-batch", "4", *extra])
+        assert rc == 0
+
+    def rows(label, name):
+        d = tmp_path / f"n75-k4-{label}-seed1-linksampling"
+        return np.array([[float(v) for v in l.split()]
+                         for l in open(d / name)])
+
+    h1 = rows("tone", "heldout.txt")
+    for label in ("tmesh", "trs"):
+        h = rows(label, "heldout.txt")
+        assert h.shape == h1.shape and len(h) == 13
+        np.testing.assert_array_equal(h[:, 0], h1[:, 0])
+        np.testing.assert_allclose(h[:, 2:], h1[:, 2:], rtol=2e-4,
+                                   atol=2e-4)
+        g = rows(label, "gamma.txt")
+        np.testing.assert_allclose(g[:, 2:], rows("tone", "gamma.txt")[:, 2:],
+                                   rtol=2e-4, atol=2e-3)
+
+
+def test_cli_mesh_rowshard_fused_report_batch(tmp_path, monkeypatch):
+    """-fuse-s3 -mesh 5 -mesh-rowshard -report-batch 4 — the flagship
+    stretch configuration — must match the single-device -fuse-s3
+    -report-batch run (the trace program threads the lagged mphi through
+    the scan and the compact heldout table psums the sharded sums)."""
+    import numpy as np
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    for label, extra in (("ftone", []),
+                         ("ftrs", ["-mesh", "5", "-mesh-rowshard"])):
+        rc = main(["-file", assort, "-n", "75", "-k", "4",
+                   "-link-sampling", "-fuse-s3", "-label", label,
+                   "-seed", "1", "-max-iterations", "12", "-no-stop",
+                   "-rfreq", "1", "-report-batch", "4", *extra])
+        assert rc == 0
+
+    def rows(label, name):
+        d = tmp_path / f"n75-k4-{label}-seed1-linksampling"
+        return np.array([[float(v) for v in l.split()]
+                         for l in open(d / name)])
+
+    h1, h = rows("ftone", "heldout.txt"), rows("ftrs", "heldout.txt")
+    assert h.shape == h1.shape and len(h) == 13
+    np.testing.assert_allclose(h[:, 2:], h1[:, 2:], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(rows("ftrs", "gamma.txt")[:, 2:],
+                               rows("ftone", "gamma.txt")[:, 2:],
+                               rtol=2e-4, atol=2e-3)
