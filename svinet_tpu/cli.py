@@ -120,6 +120,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.mesh_devices = int(nxt())
         elif a == "-mesh-rowshard":
             cfg.mesh_rowshard = True
+        elif a == "-mesh-locality":
+            cfg.mesh_locality = True
         elif a == "-dist-coordinator":
             cfg.dist_coordinator = nxt()
         elif a == "-dist-nprocs":
@@ -305,6 +307,28 @@ def main(argv: Optional[List[str]] = None) -> int:
           f"singles = {network.singles}")
     # engines run on the observed nodes only (reference: src/main.cc:291)
     network.drop_singles()
+    if cfg.mesh_locality:
+        # -mesh-locality: BFS locality permutation of the seq ids BEFORE
+        # any split is sampled (pair keys change base), then the
+        # row-sharded fused sweep exchanges only boundary rows
+        import jax as _jax
+        if _jax.process_count() > 1:
+            raise SystemExit("-mesh-locality is single-process for now; "
+                             "use -mesh-rowshard across hosts")
+        if not cfg.link_sampling:
+            raise SystemExit("-mesh-locality requires -link-sampling")
+        cfg.mesh_devices = nd = max(cfg.mesh_devices, 1)
+        if network.n % nd:
+            print(f"+ -mesh-locality needs n % {nd} == 0; ignoring")
+            cfg.mesh_locality = False
+        else:
+            if not cfg.fuse_s3:
+                print("+ -mesh-locality implies -fuse-s3")
+                cfg.fuse_s3 = True
+            if not cfg.mesh_rowshard:
+                print("+ -mesh-locality implies -mesh-rowshard")
+                cfg.mesh_rowshard = True
+            network.reorder_locality(nd)
     if cfg.groups_file:
         # gt-group metadata; dumped to gt_groups.txt by EngineBase
         # (reference: src/network.cc:154, 721-775)

@@ -133,6 +133,10 @@ class Config:
                                     # over N devices (0 = single device)
     mesh_rowshard: bool = False     # -mesh-rowshard: shard gamma rows too
                                     # (large-n regime; needs n % N == 0)
+    mesh_locality: bool = False     # -mesh-locality: BFS node reorder +
+                                    # boundary-rows-only collectives for
+                                    # the row-sharded sweep (implies
+                                    # -mesh-rowshard -fuse-s3)
     freeze_converged: bool = False  # -freeze: reference's converged-node
                                     # hard assignments (consolidates
                                     # communities when K overshoots)

@@ -225,6 +225,73 @@ class Network:
         assert not hasattr(self, "_held_keys_sorted"), \
             "drop_singles must run before heldout splits are assigned"
 
+    def reorder_locality(self, n_shards: int) -> None:
+        """Permute seq ids into locality blocks for `-mesh-locality`:
+        BFS order from the highest-degree node of each component, so the
+        d contiguous row blocks of a row-sharded mesh each own a
+        community-dense neighborhood and most edges fall INSIDE one
+        block. The sharded sweep then exchanges only the boundary rows
+        its edge shard actually touches — the TPU form of the
+        reference's touched-rows-only reduce (its threads add back only
+        the gamma_hat rows they touched, src/mmsbinfer.cc:1802-1808).
+
+        Must run BEFORE any heldout split is sampled: pair keys are
+        lo*n+hi over seq ids, and every downstream array (splits,
+        training links, gamma rows) lives in the new order. seq2id
+        carries the permutation, so all external-id interop (gamma.txt,
+        communities.txt, NMI) is unchanged."""
+        assert not hasattr(self, "_held_keys_sorted"), \
+            "reorder_locality must run before heldout splits are sampled"
+        if self.n == 0:
+            return
+        order = np.empty(self.n, np.int64)   # order[new] = old seq
+        visited = np.zeros(self.n, bool)
+        pos = 0
+        for seed in np.argsort(-self.deg, kind="stable"):
+            if visited[seed]:
+                continue
+            visited[seed] = True
+            frontier = np.array([seed], np.int64)
+            while frontier.size:
+                order[pos: pos + len(frontier)] = frontier
+                pos += len(frontier)
+                starts = self.row_ptr[frontier]
+                counts = (self.row_ptr[frontier + 1] - starts)
+                total = int(counts.sum())
+                if total == 0:
+                    break
+                base = np.repeat(starts, counts)
+                offs = (np.arange(total)
+                        - np.repeat(np.cumsum(counts) - counts, counts))
+                nbr = self.col_idx[base + offs].astype(np.int64)
+                nbr = np.unique(nbr[~visited[nbr]])
+                visited[nbr] = True
+                frontier = nbr
+        assert pos == self.n
+        perm = np.empty(self.n, np.int64)    # perm[old] = new seq
+        perm[order] = np.arange(self.n)
+
+        p = perm[self.edges[:, 0].astype(np.int64)]
+        q = perm[self.edges[:, 1].astype(np.int64)]
+        lo, hi = np.minimum(p, q), np.maximum(p, q)
+        self.edges = np.stack([lo, hi], axis=1).astype(np.int32)
+        self._edge_keys = np.sort(_pair_key(lo, hi, self.n))
+        self.seq2id = self.seq2id[order]
+        self.id2seq = {int(e): i for i, e in enumerate(self.seq2id)}
+        self.deg = self.deg[order]
+        self._build_csr()
+        if self.ground_truth is not None:
+            self.ground_truth = [np.sort(perm[c]) for c in self.ground_truth]
+        if self.gt_groups:
+            self.gt_groups = {int(perm[s]): v
+                              for s, v in self.gt_groups.items()}
+        rows_per = self.n // max(n_shards, 1)
+        if rows_per:
+            own = self.edges // rows_per
+            internal = float((own[:, 0] == own[:, 1]).mean())
+            print(f"+ locality order: {internal:.1%} of edges internal "
+                  f"to their {n_shards}-block partition")
+
     # ------------------------------------------------------------------
     def y(self, p: np.ndarray, q: np.ndarray) -> np.ndarray:
         """Vectorized link lookup for canonical or arbitrary pairs."""
@@ -244,9 +311,11 @@ class Network:
         if self.cfg.strid and self.str_ids:
             if not hasattr(self, "_str2seq"):
                 self._str2seq = {s: i for i, s in enumerate(self.str_ids)}
-            seq = self._str2seq.get(tok)
-            if seq is not None:
-                return seq
+            tok_idx = self._str2seq.get(tok)
+            if tok_idx is not None:
+                # token index is the ORIGINAL ext id; map through id2seq
+                # so a reorder_locality permutation stays transparent
+                return self.id2seq.get(tok_idx)
         try:
             return self.id2seq.get(int(tok))
         except ValueError:

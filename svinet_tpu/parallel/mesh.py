@@ -292,6 +292,7 @@ def make_rowsharded_fused_multi_sweep(mesh: Mesh,
 
 def make_mesh_trace_sweep(mesh: Mesh, num_blocks_per_shard: int,
                           fused: bool, rowshard: bool,
+                          locality: bool = False,
                           axis: str = "edges") -> Callable:
     """-report-batch for the mesh paths: n_batches report boundaries per
     device dispatch, each r sweeps apart, with the six validation heldout
@@ -310,13 +311,24 @@ def make_mesh_trace_sweep(mesh: Mesh, num_blocks_per_shard: int,
     the standalone eval needs, the PAIRS are sharded too, and the six
     sums psum-reduce — the touched-rows form of the reference's
     "only touched nodes" reduce (src/mmsbinfer.cc:1802-1808) applied to
-    the eval path."""
+    the eval path.
+
+    locality (-mesh-locality, requires fused+rowshard): the SWEEP's
+    collectives shrink to boundary rows only. Each shard's edges index
+    the concatenated [owned rows | boundary table] space
+    (parallel/locality.py); per sweep it exports just the packed rows
+    other shards touch (`exp_idx`), all_gathers the (d*Xmax, 2K) table
+    in place of the (n, 2K) gather, and psum_scatters only the
+    (d*Xmax, K) boundary gamma_hat contributions, merging them into its
+    owned rows — the full touched-rows-only reduce."""
     import jax.numpy as jnp
+    assert not locality or (fused and rowshard), \
+        "-mesh-locality runs the fused row-sharded sweep"
 
     @functools.lru_cache(maxsize=None)
     def build(r: int, n_batches: int, bf16_on: bool, ho_blocks: int):
-        def _local(gamma, lam, mphi, edges, mask, deg, consts, annealing,
-                   hidx, hpairs, hy, hw, eps):
+        def _local(gamma, lam, mphi, edges, mask, deg, exp_idx, consts,
+                   annealing, hidx, hpairs, hy, hw, eps):
             from svinet_tpu.ops.expectations import dirichlet_expectation
             from svinet_tpu.evals.likelihood import heldout_sums_from_pi
 
@@ -328,15 +340,30 @@ def make_mesh_trace_sweep(mesh: Mesh, num_blocks_per_shard: int,
                         [dirichlet_expectation(g), m], axis=1)
                     if bf16_on:
                         local_rows = local_rows.astype(jnp.bfloat16)
-                    packed = (jax.lax.all_gather(local_rows, axis,
-                                                 tiled=True)
-                              if rowshard else local_rows)
+                    if locality:
+                        rows_per = local_rows.shape[0]
+                        exports = jnp.take(local_rows, exp_idx, axis=0,
+                                           mode="clip")
+                        table = jax.lax.all_gather(exports, axis,
+                                                   tiled=True)
+                        packed = jnp.concatenate([local_rows, table],
+                                                 axis=0)
+                    elif rowshard:
+                        packed = jax.lax.all_gather(local_rows, axis,
+                                                    tiled=True)
+                    else:
+                        packed = local_rows
                     gacc_full, sumk, s3 = fused_phi_s3_pass(
                         packed, elogbeta[:, 0], edges, mask,
                         num_blocks_per_shard)
                     sumk = jax.lax.psum(sumk, axis)
                     s3 = jax.lax.psum(s3, axis)
-                    if rowshard:
+                    if locality:
+                        bnd = jax.lax.psum_scatter(
+                            gacc_full[rows_per:], axis,
+                            scatter_dimension=0, tiled=True)
+                        gacc = gacc_full[:rows_per].at[exp_idx].add(bnd)
+                    elif rowshard:
                         gacc = jax.lax.psum_scatter(
                             gacc_full, axis, scatter_dimension=0,
                             tiled=True)
@@ -397,22 +424,27 @@ def make_mesh_trace_sweep(mesh: Mesh, num_blocks_per_shard: int,
 
         row = P(axis) if rowshard else P()
         mspec = row if fused else P()
+        expspec = P(axis) if locality else P()
         ho_specs = ((P(axis), P(axis), P(axis), P(axis), P())
                     if rowshard else (P(), P(), P(), P(), P()))
         sharded = jax.shard_map(
             _local, mesh=mesh,
-            in_specs=(row, P(), mspec, P(axis), P(axis), row,
+            in_specs=(row, P(), mspec, P(axis), P(axis), row, expspec,
                       LSConsts(P(), P(), P(), P()), P()) + ho_specs,
             out_specs=(row, P(), mspec, P()),
             check_vma=False)
         return jax.jit(sharded, donate_argnums=(0, 1, 2))
 
     def call(gamma, lam, mphi, edges, mask, deg, consts, annealing, ho,
-             r: int, n_batches: int, bf16_now: bool = False):
+             r: int, n_batches: int, bf16_now: bool = False,
+             exp_idx=None):
+        import jax.numpy as jnp
         hidx, hp, hy, hw, eps, nb = ho
+        if exp_idx is None:
+            exp_idx = jnp.zeros(1, jnp.int32)
         return build(int(r), int(n_batches), bool(bf16_now), int(nb))(
-            gamma, lam, mphi, edges, mask, deg, consts, annealing,
-            hidx, hp, hy, hw, eps)
+            gamma, lam, mphi, edges, mask, deg, exp_idx, consts,
+            annealing, hidx, hp, hy, hw, eps)
 
     return call
 

@@ -511,10 +511,28 @@ class LinkSampling(EngineBase):
                 raise SystemExit(f"-mesh {nd} but only "
                                  f"{len(jax.devices())} devices visible")
             mesh = make_mesh(nd)
-            es, ms = shard_edges(network.training_links, nd, block)
-            per_shard = es.shape[0] // nd
-            self.edges, self.mask = device_put_sharded_edges(mesh, es, ms)
             rowshard = cfg.mesh_rowshard and n % nd == 0
+            # -mesh-locality: boundary-rows-only collectives (requires
+            # the fused row-sharded layout; cli.py sets the implied
+            # flags and applies Network.reorder_locality first — any
+            # permutation is CORRECT, the reorder only shrinks the
+            # boundary)
+            locality = bool(cfg.mesh_locality) and rowshard and cfg.fuse_s3
+            self._locality = locality
+            if locality:
+                from svinet_tpu.parallel.locality import (
+                    locality_edge_layout)
+                es, ms, exp_idx, linfo = locality_edge_layout(
+                    network.training_links, n, nd, block)
+                per_shard = linfo["per_shard"]
+                self._locality_info = linfo
+                cfg.plog("locality internal frac",
+                         round(linfo["internal_frac"], 4))
+                cfg.plog("locality boundary rows", linfo["boundary_rows"])
+            else:
+                es, ms = shard_edges(network.training_links, nd, block)
+                per_shard = es.shape[0] // nd
+            self.edges, self.mask = device_put_sharded_edges(mesh, es, ms)
             self._rowshard = rowshard
             self._mesh = mesh
             if cfg.mesh_rowshard and not rowshard:
@@ -530,7 +548,13 @@ class LinkSampling(EngineBase):
                 from svinet_tpu.parallel.mesh import (
                     global_put, make_rowsharded_fused_multi_sweep)
                 row = NamedSharding(mesh, P("edges"))
-                if cfg.fuse_s3:
+                if locality:
+                    # locality steps through the trace program only
+                    # (the heldout tail always rides it)
+                    self._exp_idx = global_put(exp_idx, row)
+                    self.mphi = global_put(
+                        np.zeros((n, k), np.float32), row)
+                elif cfg.fuse_s3:
                     self._mesh_sweep = make_rowsharded_fused_multi_sweep(
                         mesh, per_shard // block,
                         bf16=bool(cfg.bf16_rows))
@@ -570,7 +594,7 @@ class LinkSampling(EngineBase):
             from svinet_tpu.parallel.mesh import make_mesh_trace_sweep
             self._mesh_trace = make_mesh_trace_sweep(
                 mesh, per_shard // block, fused=bool(cfg.fuse_s3),
-                rowshard=rowshard)
+                rowshard=rowshard, locality=locality)
             del self._ce_cache      # communities rebuild a local pad
             cfg.plog("mesh devices", nd)
             cfg.plog("mesh rowshard", rowshard)
@@ -641,7 +665,7 @@ class LinkSampling(EngineBase):
                 ww[:m] = 1.0
                 hp, hy, hw = (jnp.asarray(pp), jnp.asarray(yy),
                               jnp.asarray(ww))
-                if self._mesh_sweep is not None:
+                if getattr(self, "_mesh", None) is not None:
                     from svinet_tpu.parallel.mesh import (
                         device_put_replicated)
                     hp, hy, hw, hidx = device_put_replicated(
@@ -720,7 +744,7 @@ class LinkSampling(EngineBase):
         # on LFR); the post-anneal phase — the bulk of a long run — gets
         # the half-width gathers
         bf = bool(self.cfg.bf16_rows) and not self.annealing
-        if self._mesh_sweep is not None:
+        if getattr(self, "_mesh", None) is not None:
             if self._ho_mesh is not None:
                 # ho-tailed trace program with n_batches=1: EVERY mesh
                 # layout (replicated/rowshard x fused/unfused) reports in
@@ -732,12 +756,17 @@ class LinkSampling(EngineBase):
                         else jnp.zeros((1, 1), jnp.float32))
                 g, l, m, trace = self._mesh_trace(
                     self.gamma, self.lam, m_in, self.edges, self.mask,
-                    self.deg, self.consts, ann, ho, n_sweeps, 1, bf)
+                    self.deg, self.consts, ann, ho, n_sweeps, 1, bf,
+                    exp_idx=getattr(self, "_exp_idx", None))
                 self.gamma, self.lam = g, l
                 if self.cfg.fuse_s3:
                     self.mphi = m
                 self._ho_res = trace[0]
                 return
+            if self._mesh_sweep is None:
+                raise RuntimeError(
+                    "-mesh-locality requires a validation split (the "
+                    "trace program carries the heldout tail)")
             if self.cfg.fuse_s3:
                 (self.gamma, self.lam, self.mphi) = self._mesh_sweep(
                     self.gamma, self.lam, self.mphi, self.edges,
@@ -826,7 +855,7 @@ class LinkSampling(EngineBase):
         never re-enter (phi is only computed over active columns)."""
         cfg = self.cfg
         if (not cfg.prune or self.annealing
-                or self._mesh_sweep is not None
+                or getattr(self, "_mesh", None) is not None
                 or getattr(self, "_light_report", False)):
             # light replay rows (-report-batch) must not compact: the
             # state belongs to the batch's final iteration and the
@@ -1092,7 +1121,8 @@ class LinkSampling(EngineBase):
             ho = (hidx, hp, hy, hw, jnp.float32(cfg.epsilon), nb)
             g, l, m, trace = self._mesh_trace(
                 self.gamma, self.lam, m_in, self.edges, self.mask,
-                self.deg, self.consts, ann, ho, r, b_eff, bf)
+                self.deg, self.consts, ann, ho, r, b_eff, bf,
+                exp_idx=getattr(self, "_exp_idx", None))
         else:
             hp, hy, hw, nb = self._ho_dev
             g, l, m, trace = linksampling_sweep_ho_trace(

@@ -634,3 +634,111 @@ def test_cli_mesh_rowshard_fused_report_batch(tmp_path, monkeypatch):
     np.testing.assert_allclose(rows("ftrs", "gamma.txt")[:, 2:],
                                rows("ftone", "gamma.txt")[:, 2:],
                                rtol=2e-4, atol=2e-3)
+
+
+def test_locality_edge_layout_invariants():
+    """locality_edge_layout must conserve the edge set: every edge lands
+    on exactly one shard, assigned to a shard owning one endpoint, and
+    remapped indices decode back to the original node ids through the
+    [owned | boundary-table] space."""
+    from svinet_tpu.parallel.locality import locality_edge_layout
+    rng = np.random.default_rng(0)
+    n, d, block = 80, 5, 16
+    E = 400
+    e = rng.integers(0, n, (E, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    lo, hi = np.minimum(e[:, 0], e[:, 1]), np.maximum(e[:, 0], e[:, 1])
+    keys = np.unique(lo * n + hi)
+    edges = np.stack([keys // n, keys % n], 1).astype(np.int32)
+    out, mask, exp_idx, info = locality_edge_layout(edges, n, d, block)
+    rows_per, xmax, per = info["rows_per"], info["xmax"], info["per_shard"]
+    assert int(mask.sum()) == len(edges)
+    # decode each kept edge back to node space
+    decoded = []
+    for s in range(d):
+        chunk = out[s * per:(s + 1) * per]
+        mm = mask[s * per:(s + 1) * per] > 0
+        for p, q in chunk[mm]:
+            def dec(x):
+                if x < rows_per:
+                    return s * rows_per + x           # owned by shard s
+                slot = x - rows_per
+                t = slot // xmax
+                return t * rows_per + exp_idx[slot]   # boundary row
+            a, b = dec(p), dec(q)
+            assert min(a, b) // rows_per == s or max(a, b) // rows_per == s
+            decoded.append((min(a, b), max(a, b)))
+    decoded = np.array(sorted(decoded))
+    np.testing.assert_array_equal(decoded, edges[np.lexsort(
+        (edges[:, 1], edges[:, 0]))])
+    assert 0.0 <= info["internal_frac"] <= 1.0
+
+
+def test_locality_engine_matches_single_device(tmp_path):
+    """-mesh-locality (boundary-rows-only collectives + report-batch
+    trace) must match the single-device -fuse-s3 run on the SAME
+    permuted network (the BFS reorder is applied to both, so splits and
+    state are identical; only the collective layout differs)."""
+    from svinet_tpu.config import Config
+    from svinet_tpu.graph import Network
+    from svinet_tpu.svi.linksampling import LinkSampling
+    assort = "/root/reference/example/assort-75-4.txt"
+
+    def run(label, mesh):
+        cfg = Config(n=75, k=4, link_sampling=True, seed=1, fuse_s3=True,
+                     outdir=str(tmp_path / label), max_iterations=12,
+                     use_validation_stop=False, reportfreq=1,
+                     report_batch=4,
+                     mesh_devices=5 if mesh else 0, mesh_rowshard=mesh,
+                     mesh_locality=mesh)
+        cfg.resolve()
+        net = Network(cfg)
+        net.read(assort)
+        net.reorder_locality(5)     # both runs share the permuted order
+        eng = LinkSampling(cfg, net)
+        if mesh:
+            assert eng._locality and eng._mesh_sweep is None
+            assert eng._locality_info["internal_frac"] < 1.0
+        eng.infer()
+        return cfg
+
+    c1 = run("loc1", False)
+    cm = run("locm", True)
+
+    def rows(cfg, name):
+        return np.array([[float(v) for v in l.split()]
+                         for l in open(cfg.file_str(name))])
+
+    h1, hm = rows(c1, "heldout.txt"), rows(cm, "heldout.txt")
+    assert h1.shape == hm.shape and len(h1) == 13
+    np.testing.assert_array_equal(h1[:, 0], hm[:, 0])
+    np.testing.assert_allclose(hm[:, 2:], h1[:, 2:], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(rows(cm, "gamma.txt")[:, 2:],
+                               rows(c1, "gamma.txt")[:, 2:],
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_cli_mesh_locality_matches_plain_rowshard_stats(tmp_path,
+                                                        monkeypatch):
+    """Through the CLI, -mesh-locality permutes seq ids, so its heldout
+    SPLIT differs from an unpermuted run — statistical results must
+    still land in the same band (LFR would be overkill here; assort's
+    nshol band is wide but the run must converge and produce the full
+    output inventory)."""
+    from svinet_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assort = "/root/reference/example/assort-75-4.txt"
+    rc = main(["-file", assort, "-n", "75", "-k", "4", "-link-sampling",
+               "-label", "cloc", "-seed", "1", "-max-iterations", "20",
+               "-no-stop", "-rfreq", "1", "-report-batch", "5",
+               "-mesh", "5", "-mesh-locality"])
+    assert rc == 0
+    d = tmp_path / "n75-k4-cloc-seed1-linksampling"
+    assert (d / "gamma.txt").exists()
+    g = np.array([[float(v) for v in l.split()[2:]]
+                  for l in open(d / "gamma.txt")])
+    assert g.shape == (75, 4)
+    h = np.array([[float(v) for v in l.split()]
+                  for l in open(d / "heldout.txt")])
+    # converging run: final nshol within assort's normal band
+    assert h[-1, 2] > -1.0
