@@ -225,15 +225,185 @@ class Network:
         assert not hasattr(self, "_held_keys_sorted"), \
             "drop_singles must run before heldout splits are assigned"
 
-    def reorder_locality(self, n_shards: int) -> None:
+    @staticmethod
+    def _lpa_weighted(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                      n: int, sweeps: int) -> np.ndarray:
+        """One level of deterministic weighted label propagation over a
+        doubled (src, dst, weight) edge list that already includes unit
+        self-votes: each node adopts the label with the largest vote
+        weight among its neighbors+self, moving only on a STRICT win (or
+        to a smaller label at equal weight). The self-vote + strict rule
+        bounds label percolation to one hop per sweep — without it, tie
+        breaks percolate the global min label through sparse
+        cross-community edges and the partition collapses to one giant
+        cluster (measured on a degree-5 planted graph: 17% internal)."""
+        labels = np.arange(n, dtype=np.int64)
+        for _ in range(sweeps):
+            key = src * n + labels[dst]
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            ws = w[order]
+            start = np.flatnonzero(
+                np.concatenate([[True], np.diff(ks) != 0]))
+            run_key = ks[start]
+            run_w = np.add.reduceat(ws, start)
+            node = run_key // n
+            lab = run_key % n
+            sel = np.lexsort((lab, -run_w, node))
+            node_s = node[sel]
+            first = np.flatnonzero(
+                np.concatenate([[True], np.diff(node_s) != 0]))
+            best_lab = lab[sel][first]
+            best_w = run_w[sel][first]
+            nn = node_s[first]
+            cur_pos = np.searchsorted(run_key, nn * n + labels[nn])
+            cur_w = run_w[cur_pos]              # self-vote: always >= 1
+            move = (best_w > cur_w) | ((best_w == cur_w)
+                                       & (best_lab < labels[nn]))
+            new = labels.copy()
+            new[nn[move]] = best_lab[move]
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        return labels
+
+    @staticmethod
+    def _louvain_level(cp: np.ndarray, cq: np.ndarray, cw: np.ndarray,
+                       m: int, sweeps: int, sizes: np.ndarray,
+                       cap: int) -> np.ndarray:
+        """Modularity-scored label sweeps over a contracted weighted
+        graph (self-loops excluded): a supernode moves to the neighbor
+        label maximizing the Louvain gain  w(i->c) − s_i·S_c / 2W
+        (current label scored with itself removed from S_c), only on a
+        strict win. Raw weight votes cannot tell structure from noise at
+        coarse levels — they either freeze (self-cohesion dominates) or
+        collapse to a giant cluster (measured both ways on a degree-5
+        planted graph); the degree-product null model is what
+        discriminates. `sizes` (base-node count per supernode) and
+        `cap` bound cluster growth: moves into a label whose size would
+        exceed cap are forbidden — unbounded merging grows clusters
+        toward the bin capacity, which wrecks both the pack granularity
+        and the boundary-row count (measured on the stretch graph:
+        internal 95.6%->92.6%, table 0.23n->0.82n without the cap)."""
+        node_str = np.bincount(np.concatenate([cp, cq]),
+                               weights=np.concatenate([cw, cw]),
+                               minlength=m)
+        two_w = max(float(cw.sum()) * 2.0, 1.0)
+        labels = np.arange(m, dtype=np.int64)
+        all_m = np.arange(m, dtype=np.int64)
+        src = np.concatenate([cp, cq, all_m])
+        dstE = np.concatenate([cq, cp])
+        wts = np.concatenate([cw, cw, np.zeros(m)]).astype(np.float64)
+        for _ in range(sweeps):
+            strength = np.bincount(labels, weights=node_str, minlength=m)
+            csize = np.bincount(labels, weights=sizes.astype(np.float64),
+                                minlength=m)
+            # votes + a zero-weight entry for every node's CURRENT label
+            # (so the stay-score exists even with no like-labeled
+            # neighbor)
+            dst_lab = np.concatenate([labels[dstE], labels])
+            key = src * m + dst_lab
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            ws = wts[order]
+            start = np.flatnonzero(
+                np.concatenate([[True], np.diff(ks) != 0]))
+            run_key = ks[start]
+            run_w = np.add.reduceat(ws, start)
+            node = run_key // m
+            lab = run_key % m
+            is_cur = lab == labels[node]
+            s_other = np.where(is_cur, strength[lab] - node_str[node],
+                               strength[lab])
+            score = run_w - node_str[node] * s_other / two_w
+            over = ~is_cur & (csize[lab] + sizes[node] > cap)
+            score = np.where(over, -np.inf, score)
+            sel = np.lexsort((lab, -score, node))
+            node_s = node[sel]
+            first = np.flatnonzero(
+                np.concatenate([[True], np.diff(node_s) != 0]))
+            best_lab = lab[sel][first]
+            best_sc = score[sel][first]
+            nn = node_s[first]
+            cur_pos = np.searchsorted(run_key, nn * m + labels[nn])
+            cur_sc = score[cur_pos]
+            move = best_sc > cur_sc
+            new = labels.copy()
+            new[nn[move]] = best_lab[move]
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        return labels
+
+    def _label_prop(self, sweeps: int = 5, levels: int = 3,
+                    cap: int = 0) -> np.ndarray:
+        """Multilevel community pre-pass for the locality partition:
+        one bounded-hop label-propagation level over the raw graph
+        (fragments), then CONTRACT the fragments into supernodes (edge
+        multiplicities become weights) and merge them with
+        modularity-scored sweeps (_louvain_level) — the Louvain-style
+        coarsening that fuses the fragments LPA leaves behind on
+        low-degree graphs without collapsing across noise edges. Pure
+        numpy sort-and-reduceat; ~3 sorts of 2E per sweep (seconds at
+        29M edges)."""
+        n = self.n
+        cap = cap or n
+        p = self.edges[:, 0].astype(np.int64)
+        q = self.edges[:, 1].astype(np.int64)
+        comp = np.arange(n, dtype=np.int64)     # node -> cluster id
+        m = n
+        sizes = np.ones(n, np.int64)            # base nodes per cluster
+        cp, cq, cw = p, q, np.ones(len(p), np.int64)
+        for level in range(max(levels, 1)):
+            if level == 0:
+                all_m = np.arange(m, dtype=np.int64)
+                src = np.concatenate([cp, cq, all_m])
+                dst = np.concatenate([cq, cp, all_m])
+                w = np.concatenate([cw, cw, np.ones(m, np.int64)])
+                sub = self._lpa_weighted(src, dst, w, m, sweeps)
+            else:
+                sub = self._louvain_level(cp, cq, cw, m, sweeps,
+                                          sizes, cap)
+            comp = sub[comp]
+            uniq, inv = np.unique(comp, return_inverse=True)
+            if len(uniq) == m or len(uniq) <= 1:
+                break
+            comp = inv.astype(np.int64)
+            m = len(uniq)
+            sizes = np.bincount(comp, minlength=m).astype(np.int64)
+            # contract: aggregate parallel edges, DROPPING self-loops —
+            # a supernode's internal weight as a vote for itself freezes
+            # the coarse levels solid (measured: coarsening stalls at
+            # ~39k fragments on the degree-5 planted graph); the unit
+            # self-vote alone keeps the strict rule's percolation bound
+            # while letting sibling-fragment weights accumulate
+            a = comp[p]
+            b = comp[q]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            keep = lo != hi
+            key = lo[keep] * m + hi[keep]
+            ks = np.sort(key)
+            start = np.flatnonzero(
+                np.concatenate([[True], np.diff(ks) != 0]))
+            run_key = ks[start]
+            cw = np.diff(np.concatenate([start, [len(ks)]]))
+            cp = run_key // m
+            cq = run_key % m
+        return comp
+
+    def reorder_locality(self, n_shards: int, sweeps: int = 5) -> None:
         """Permute seq ids into locality blocks for `-mesh-locality`:
-        BFS order from the highest-degree node of each component, so the
-        d contiguous row blocks of a row-sharded mesh each own a
-        community-dense neighborhood and most edges fall INSIDE one
-        block. The sharded sweep then exchanges only the boundary rows
-        its edge shard actually touches — the TPU form of the
-        reference's touched-rows-only reduce (its threads add back only
-        the gamma_hat rows they touched, src/mmsbinfer.cc:1802-1808).
+        a majority-label-propagation pre-pass groups nodes into
+        community clusters, and the clusters are best-fit packed into
+        the d contiguous row blocks of the row-sharded mesh, so most
+        edges fall INSIDE one block. The sharded sweep then exchanges
+        only the boundary rows its edge shard actually touches — the
+        TPU form of the reference's touched-rows-only reduce (its
+        threads add back only the gamma_hat rows they touched,
+        src/mmsbinfer.cc:1802-1808). (A plain BFS ordering was measured
+        first: 0.2% cross-community noise edges make BFS frontiers leak
+        across the planted stretch communities — 73% internal vs 99.5%+
+        for label-prop packing.)
 
         Must run BEFORE any heldout split is sampled: pair keys are
         lo*n+hi over seq ids, and every downstream array (splits,
@@ -244,30 +414,50 @@ class Network:
             "reorder_locality must run before heldout splits are sampled"
         if self.n == 0:
             return
-        order = np.empty(self.n, np.int64)   # order[new] = old seq
-        visited = np.zeros(self.n, bool)
-        pos = 0
-        for seed in np.argsort(-self.deg, kind="stable"):
-            if visited[seed]:
-                continue
-            visited[seed] = True
-            frontier = np.array([seed], np.int64)
-            while frontier.size:
-                order[pos: pos + len(frontier)] = frontier
-                pos += len(frontier)
-                starts = self.row_ptr[frontier]
-                counts = (self.row_ptr[frontier + 1] - starts)
-                total = int(counts.sum())
-                if total == 0:
-                    break
-                base = np.repeat(starts, counts)
-                offs = (np.arange(total)
-                        - np.repeat(np.cumsum(counts) - counts, counts))
-                nbr = self.col_idx[base + offs].astype(np.int64)
-                nbr = np.unique(nbr[~visited[nbr]])
-                visited[nbr] = True
-                frontier = nbr
-        assert pos == self.n
+        # cap clusters well below the bin size: pack granularity sets
+        # the edge-load skew (measured on the stretch graph: cap at
+        # rows_per/4 -> 1.32x max/mean load, rows_per/16 -> ~1.0x at a
+        # negligible internal-fraction cost)
+        rows_per_cap = self.n // max(n_shards, 1)
+        labels = self._label_prop(sweeps,
+                                  cap=max(rows_per_cap // 16, 1))
+        by_label = np.argsort(labels, kind="stable")   # nodes grouped
+        uniq, gstart = np.unique(labels[by_label], return_index=True)
+        gsize = np.diff(np.concatenate([gstart, [self.n]]))
+        # per-group INTERNAL edge weight: the pack balances edge load
+        # across bins (the sweeps pad every shard to the max edge
+        # count, so edge imbalance is wasted compute), subject to the
+        # exact node capacity the row sharding requires; a group no bin
+        # can hold is split across the emptiest bins (caps sum to n, so
+        # the pack always completes)
+        lp = labels[self.edges[:, 0].astype(np.int64)]
+        lq = labels[self.edges[:, 1].astype(np.int64)]
+        ew = np.bincount(lp[lp == lq], minlength=self.n)[uniq]
+        d = max(n_shards, 1)
+        cap = np.full(d, self.n // d, np.int64)
+        cap[: self.n % d] += 1
+        load = np.zeros(d, np.int64)
+        bins: list = [[] for _ in range(d)]
+        for gi in np.lexsort((-gsize, -ew)):
+            lo = int(gstart[gi])
+            size = int(gsize[gi])
+            w = float(ew[gi]) / max(size, 1)     # edge weight per node
+            while size > 0:
+                fits = np.nonzero(cap >= size)[0]
+                if len(fits):
+                    b = int(fits[np.argmin(load[fits])])
+                    take = size
+                else:
+                    b = int(np.argmax(cap))
+                    take = int(cap[b])
+                bins[b].append(by_label[lo: lo + take])
+                cap[b] -= take
+                load[b] += int(w * take)
+                lo += take
+                size -= take
+        order = np.concatenate([a for bl in bins for a in bl]
+                               or [np.zeros(0, np.int64)]).astype(np.int64)
+        assert len(order) == self.n
         perm = np.empty(self.n, np.int64)    # perm[old] = new seq
         perm[order] = np.arange(self.n)
 

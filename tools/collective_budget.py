@@ -49,8 +49,21 @@ def allreduce_time(vol_bytes: float, d: int, bw: float) -> float:
     return 2.0 * (d - 1) / d * vol_bytes / bw
 
 
-def sweep_model(d: int, hosts: int = 1) -> dict:
+# -mesh-locality: measured boundary-table fraction on the REAL stretch
+# graph (label-prop reorder + edge-balanced pack, graph.py
+# reorder_locality; measured 2026-08-21 in this repo):
+#   d=8  -> table = 0.221 n   (internal edges 96.3%, load max/mean 1.003)
+#   d=16 -> table = 0.248 n   (internal edges 96.9%, load max/mean 1.016)
+# The fused sweep's collectives all scale by this factor: the all_gather
+# moves (d*Xmax, 2K) packed rows instead of (n, 2K) and the psum_scatter
+# moves the (d*Xmax, K) boundary contributions instead of (n, K).
+LOCALITY_TABLE_FRAC = {8: 0.221, 16: 0.248}
+
+
+def sweep_model(d: int, hosts: int = 1, locality: bool = False) -> dict:
     vol = N * K * 4.0
+    if locality:
+        vol *= LOCALITY_TABLE_FRAC[d]
     comp = T1_SWEEP_S / d
     if hosts == 1:
         comm = allreduce_time(vol, d, ICI_BPS)
@@ -60,7 +73,7 @@ def sweep_model(d: int, hosts: int = 1) -> dict:
         comm = allreduce_time(vol, d_local, ICI_BPS)
         # + DCN all-reduce of each 1/d_local shard across hosts
         comm += allreduce_time(vol / d_local, hosts, DCN_BPS)
-    return {"devices": d, "hosts": hosts,
+    return {"devices": d, "hosts": hosts, "locality": locality,
             "compute_s": round(comp, 3), "collective_s": round(comm, 3),
             "collective_gb_per_dev": round(
                 2 * (d - 1) / d * vol / 1e9, 2),
@@ -70,6 +83,8 @@ def sweep_model(d: int, hosts: int = 1) -> dict:
 def main() -> None:
     rows = [sweep_model(d) for d in (1, 2, 4, 8)]
     rows.append(sweep_model(16, hosts=2))
+    rows.append(sweep_model(8, locality=True))
+    rows.append(sweep_model(16, hosts=2, locality=True))
     print(f"stretch sweep n={N} K={K} E={E}: t1={T1_SWEEP_S}s measured; "
           f"gacc all-reduce volume = {N * K * 4 / 1e9:.1f} GB "
           f"(ICI {ICI_BPS / 1e9:.0f} GB/s/dir, DCN {DCN_BPS / 1e9:.0f} "
@@ -77,15 +92,17 @@ def main() -> None:
     for r in rows:
         print(json.dumps(r))
     # the BASELINE 2-host number: throughput(2 hosts) / (2 x throughput(1 host))
-    t8 = sweep_model(8)
-    t16 = sweep_model(16, hosts=2)
-    tput8 = 1.0 / (t8["compute_s"] + t8["collective_s"])
-    tput16 = 1.0 / (t16["compute_s"] + t16["collective_s"])
-    print(json.dumps({
-        "metric": "two_host_scaling_efficiency_analytic",
-        "value": round(tput16 / (2 * tput8), 3),
-        "note": "throughput(2 hosts x 8 chips) / 2*throughput(1 host), "
-                "n=1M/K=500 stretch sweep"}))
+    for loc in (False, True):
+        t8 = sweep_model(8, locality=loc)
+        t16 = sweep_model(16, hosts=2, locality=loc)
+        tput8 = 1.0 / (t8["compute_s"] + t8["collective_s"])
+        tput16 = 1.0 / (t16["compute_s"] + t16["collective_s"])
+        print(json.dumps({
+            "metric": "two_host_scaling_efficiency_analytic",
+            "locality": loc,
+            "value": round(tput16 / (2 * tput8), 3),
+            "note": "throughput(2 hosts x 8 chips) / 2*throughput(1 "
+                    "host), n=1M/K=500 stretch sweep"}))
 
 
 if __name__ == "__main__":
