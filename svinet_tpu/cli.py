@@ -122,6 +122,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.mesh_rowshard = True
         elif a == "-mesh-locality":
             cfg.mesh_locality = True
+        elif a == "-sparse-w":
+            cfg.sparse_w = int(nxt())
         elif a == "-dist-coordinator":
             cfg.dist_coordinator = nxt()
         elif a == "-dist-nprocs":

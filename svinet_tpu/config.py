@@ -133,6 +133,10 @@ class Config:
                                     # over N devices (0 = single device)
     mesh_rowshard: bool = False     # -mesh-rowshard: shard gamma rows too
                                     # (large-n regime; needs n % N == 0)
+    sparse_w: int = 0               # -sparse-w W: top-W union sweep for
+                                    # LinkSampling at huge K (the
+                                    # reference's active-list pruning
+                                    # regime, src/linksampling.cc:634-664)
     mesh_locality: bool = False     # -mesh-locality: BFS node reorder +
                                     # boundary-rows-only collectives for
                                     # the row-sharded sweep (implies

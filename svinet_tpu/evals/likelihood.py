@@ -128,6 +128,20 @@ def heldout_sums_from_pi(pi, beta, pairs, y, w, epsilon,
     return acc
 
 
+def multi_heldout_sums(gamma, lam, tail_pairs, tail_y, tail_w, epsilon,
+                       blocks) -> jax.Array:
+    """Heldout sums for SEVERAL pair sets on one state, jit-inlineable as
+    the tail of the minibatch engines' multi-step programs (round-4
+    review item 5: one dispatch per report). tail_pairs/tail_y/tail_w
+    are tuples of padded arrays; blocks the matching static scan counts.
+    Returns (S, 6) stacked sums."""
+    pi = gamma / gamma.sum(axis=1, keepdims=True)
+    beta = lam[:, 0] / (lam[:, 0] + lam[:, 1])
+    return jnp.stack([
+        heldout_sums_from_pi(pi, beta, p, y, w, epsilon, nb)
+        for p, y, w, nb in zip(tail_pairs, tail_y, tail_w, blocks)])
+
+
 def result_from_sums(sums) -> HeldoutResult:
     s, k, s0, k0, s1, k1 = (float(v) for v in sums)
     return HeldoutResult(

@@ -617,10 +617,10 @@ def make_sharded_svi_multi_step(mesh: Mesh, num_blocks_per_shard: int,
     the first C pairs in shard order via a cross-shard prefix)."""
 
     @functools.lru_cache(maxsize=None)
-    def build(n_steps: int):
+    def build(n_steps: int, tail_blocks=()):
         def _local(gamma, lam, batch_pairs, batch_y, batch_w, alpha, eta,
                    gscales, lscales, noderhots, rhots, do_lambdas,
-                   log_eps):
+                   log_eps, *tail):
             from svinet_tpu.ops.expectations import dirichlet_expectation
             from svinet_tpu.svi.mmsb import pair_block_stats
             import jax.numpy as jnp
@@ -661,22 +661,39 @@ def make_sharded_svi_multi_step(mesh: Mesh, num_blocks_per_shard: int,
                 one, (gamma, lam),
                 (batch_pairs, batch_y, batch_w, gscales, lscales,
                  noderhots, rhots, do_lambdas))
+            if tail_blocks:
+                # eval tail (round-4 item 5): gamma is replicated, so
+                # every shard computes the identical sums — no collective
+                from svinet_tpu.evals.likelihood import multi_heldout_sums
+                s = len(tail_blocks)
+                tp, ty, tw = tail[:s], tail[s:2 * s], tail[2 * s:3 * s]
+                eps = tail[3 * s]
+                return gamma, lam, multi_heldout_sums(
+                    gamma, lam, tp, ty, tw, eps, tail_blocks)
             return gamma, lam
 
+        s = len(tail_blocks)
+        tail_specs = (P(),) * (3 * s + 1) if s else ()
         sharded = jax.shard_map(
             _local, mesh=mesh,
             in_specs=(P(), P(), P(None, axis), P(None, axis), P(None, axis),
-                      P(), P(), P(), P(), P(), P(), P(), P()),
-            out_specs=(P(), P()),
+                      P(), P(), P(), P(), P(), P(), P(), P()) + tail_specs,
+            out_specs=(P(), P()) + ((P(),) if s else ()),
             check_vma=False)
         return jax.jit(sharded, donate_argnums=(0, 1))
 
     def call(gamma, lam, batch_pairs, batch_y, batch_w, alpha, eta,
              gscales, lscales, noderhots, rhots, do_lambdas, log_eps,
-             n_steps: int):
-        return build(int(n_steps))(
+             n_steps: int, tail=None):
+        if tail is None:
+            return build(int(n_steps))(
+                gamma, lam, batch_pairs, batch_y, batch_w, alpha, eta,
+                gscales, lscales, noderhots, rhots, do_lambdas, log_eps)
+        tp, ty, tw, tnb, eps = tail
+        return build(int(n_steps), tuple(tnb))(
             gamma, lam, batch_pairs, batch_y, batch_w, alpha, eta,
-            gscales, lscales, noderhots, rhots, do_lambdas, log_eps)
+            gscales, lscales, noderhots, rhots, do_lambdas, log_eps,
+            *tp, *ty, *tw, eps)
 
     return call
 
@@ -686,30 +703,54 @@ def make_sharded_batch_step(mesh: Mesh, num_blocks_per_shard: int,
                             axis: str = "edges") -> Callable:
     """Sharded full coordinate-ascent pass for -batch: the all-pairs set
     sharded across the mesh, gamma = alpha + psum(gamma_hat)
-    (reference: MMSBInfer::batch_infer, src/mmsbinfer.cc:833-930)."""
+    (reference: MMSBInfer::batch_infer, src/mmsbinfer.cc:833-930).
+    The returned call accepts tail=(tp, ty, tw, tnb, eps) to append the
+    per-report eval sums (see make_sharded_svi_multi_step)."""
 
-    def _local(gamma, lam, pairs, y, w, alpha, eta, do_lambda, log_eps):
-        from svinet_tpu.ops.expectations import dirichlet_expectation
-        from svinet_tpu.svi.mmsb import pair_block_stats
-        import jax.numpy as jnp
-        elogpi = dirichlet_expectation(gamma)
-        elogbeta = dirichlet_expectation(lam)
-        gacc, lacc = pair_block_stats(
-            elogpi, elogbeta, pairs, y, w, num_blocks_per_shard,
-            log_eps, max_iters, thresh)
-        gacc = jax.lax.psum(gacc, axis)
-        lacc = jax.lax.psum(lacc, axis)
-        gamma = alpha + gacc
-        lam = jnp.where(do_lambda > 0, eta + lacc, lam)
-        return gamma, lam
+    @functools.lru_cache(maxsize=None)
+    def build(tail_blocks=()):
+        def _local(gamma, lam, pairs, y, w, alpha, eta, do_lambda,
+                   log_eps, *tail):
+            from svinet_tpu.ops.expectations import dirichlet_expectation
+            from svinet_tpu.svi.mmsb import pair_block_stats
+            import jax.numpy as jnp
+            elogpi = dirichlet_expectation(gamma)
+            elogbeta = dirichlet_expectation(lam)
+            gacc, lacc = pair_block_stats(
+                elogpi, elogbeta, pairs, y, w, num_blocks_per_shard,
+                log_eps, max_iters, thresh)
+            gacc = jax.lax.psum(gacc, axis)
+            lacc = jax.lax.psum(lacc, axis)
+            gamma = alpha + gacc
+            lam = jnp.where(do_lambda > 0, eta + lacc, lam)
+            if tail_blocks:
+                from svinet_tpu.evals.likelihood import multi_heldout_sums
+                s = len(tail_blocks)
+                tp, ty, tw = tail[:s], tail[s:2 * s], tail[2 * s:3 * s]
+                return gamma, lam, multi_heldout_sums(
+                    gamma, lam, tp, ty, tw, tail[3 * s], tail_blocks)
+            return gamma, lam
 
-    sharded = jax.shard_map(
-        _local, mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis),
-                  P(), P(), P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False)
-    return jax.jit(sharded, donate_argnums=(0, 1))
+        s = len(tail_blocks)
+        tail_specs = (P(),) * (3 * s + 1) if s else ()
+        sharded = jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis),
+                      P(), P(), P(), P()) + tail_specs,
+            out_specs=(P(), P()) + ((P(),) if s else ()),
+            check_vma=False)
+        return jax.jit(sharded, donate_argnums=(0, 1))
+
+    def call(gamma, lam, pairs, y, w, alpha, eta, do_lambda, log_eps,
+             tail=None):
+        if tail is None:
+            return build()(gamma, lam, pairs, y, w, alpha, eta,
+                           do_lambda, log_eps)
+        tp, ty, tw, tnb, eps = tail
+        return build(tuple(tnb))(gamma, lam, pairs, y, w, alpha, eta,
+                                 do_lambda, log_eps, *tp, *ty, *tw, eps)
+
+    return call
 
 
 def make_rowsharded_sweep(mesh: Mesh, num_blocks_per_shard: int,

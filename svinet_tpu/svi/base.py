@@ -200,6 +200,7 @@ class EngineBase:
         self.gamma = None
         self.lam = None
         self._last_ckpt = time.time()
+        self._tail_res = None     # step-program eval-tail stash
 
     # ------------------------------------------------------------------
     def duration(self) -> int:
@@ -233,6 +234,8 @@ class EngineBase:
         pairs = np.concatenate([links, nonlinks.astype(np.int32)], axis=0)
         ys = np.concatenate([np.ones(len(links), np.int32),
                              np.zeros(len(nonlinks), np.int32)])
+        # host copy kept for the step-program eval tail
+        self._train_sample_np = (pairs, ys)
         return self._eval_pairs(pairs), self._eval_pairs(ys)
 
     # ------------------------------------------------------------------
@@ -417,9 +420,96 @@ class EngineBase:
         if due:
             self.save_checkpoint(self.iteration + self.ckpt_boundary_offset)
 
+    # -- step-program eval tail ---------------------------------------
+    # The reference evaluates heldout/validation with separate passes
+    # per report (src/mmsbinfer.cc:2085-2174); through the ~8 ms/dispatch
+    # remote-TPU tunnel each standalone eval is a dispatch. Engines fold
+    # the per-report pair-set sums into the TAIL of their fused
+    # multi-step device programs (evals/likelihood.py:multi_heldout_sums)
+    # and stash the rows here; _heldout then serves the report from the
+    # stash — one dispatch per report instead of step + 2-3 evals.
+
+    def _tail_device_sets(self):
+        """Cached padded arrays for the tail-evaluated pair sets, in
+        order: the stopping split, the validation split (dual engines),
+        and the per-report training sample. Returns (pairs_tuple,
+        y_tuple, w_tuple, blocks_tuple, names) — None when there is
+        nothing to evaluate."""
+        cached = getattr(self, "_tail_cache", None)
+        if cached is not None or getattr(self, "_tail_disabled", False):
+            return cached
+        net = self.network
+
+        def pad(pairs, y):
+            m = len(pairs)
+            blk = min(1 << 17, max(64, 1 << int(np.ceil(
+                np.log2(max(m, 1))))))
+            nb = max((m + blk - 1) // blk, 1)
+            tot = nb * blk
+            pp = np.zeros((tot, 2), np.int32)
+            pp[:m] = pairs
+            yy = np.zeros(tot, np.int32)
+            yy[:m] = y
+            ww = np.zeros(tot, np.float32)
+            ww[:m] = 1.0
+            return pp, yy, ww, nb
+
+        names, raw = [], []
+        stop_np = (net.heldout_pairs if self._dual
+                   else net.validation_pairs)
+        stop_y = net.heldout_y if self._dual else net.validation_y
+        if len(stop_np):
+            names.append("stop")
+            raw.append(pad(stop_np, stop_y))
+        if self._dual and len(net.validation_pairs):
+            names.append("val")
+            raw.append(pad(net.validation_pairs, net.validation_y))
+        tsn = getattr(self, "_train_sample_np", None)
+        if tsn is not None:
+            names.append("train")
+            raw.append(pad(tsn[0], tsn[1]))
+        if not names:
+            self._tail_cache = None
+            return None
+        put = self._tail_put
+        sets = tuple(zip(*[(put(pp), put(yy), put(ww))
+                           for pp, yy, ww, _ in raw]))
+        self._tail_cache = (sets[0], sets[1], sets[2],
+                            tuple(r[3] for r in raw), names)
+        return self._tail_cache
+
+    def _tail_put(self, arr):
+        """Device placement for tail arrays; mesh engines override to
+        replicate onto their mesh."""
+        return jnp.asarray(arr)
+
+    def _stash_tail(self, rows) -> None:
+        """rows: (S, 6) sums from the step program's tail, in
+        _tail_device_sets order."""
+        cache = getattr(self, "_tail_cache", None)
+        if cache is None:
+            return
+        rows = np.asarray(rows)
+        self._tail_res = {nm: rows[i] for i, nm in enumerate(cache[4])}
+
     def _heldout(self, pairs, y) -> "HeldoutResult":
         """Heldout likelihood over a pair set; engines with a non-dense
-        gamma representation (sparse top-W, -fastqueue) override this."""
+        gamma representation (sparse top-W, -fastqueue) override this.
+        Pair sets whose sums rode the step program's tail are served
+        from the stash (identity match on the engine's set objects)."""
+        tr = getattr(self, "_tail_res", None)
+        if tr:
+            from svinet_tpu.evals.likelihood import result_from_sums
+            if pairs is self.stop_pairs and "stop" in tr:
+                return result_from_sums(tr["stop"])
+            if pairs is self.val_pairs:
+                key = "val" if "val" in tr else (
+                    "stop" if not self._dual else None)
+                if key:
+                    return result_from_sums(tr[key])
+            ts = getattr(self, "_train_sample", None)
+            if ts is not None and pairs is ts[0] and "train" in tr:
+                return result_from_sums(tr["train"])
         eg, el = self._eval_arrays()
         return heldout_stats(eg, el, pairs, y, self.cfg.epsilon)
 
@@ -430,6 +520,7 @@ class EngineBase:
         src/mmsbinfer.cc:2085-2170); single-split engines write the same
         rows to both files."""
         cfg = self.cfg
+        _mr0 = time.time()
         res = self._heldout(self.stop_pairs, self.stop_y)
         nshol = self._hf.write(self.iteration, self.duration(), res,
                                cfg.zeros_prob, cfg.ones_prob)
@@ -493,6 +584,7 @@ class EngineBase:
             self._timef.flush()
 
         stop = self._stop_and_write_max(nshol, self._heldout)
+        _mr1 = time.time()
         # Per-report community extraction feeds the NMI trace (mutual.txt,
         # one entry per report in the reference's bundled runs); without
         # -nmi the reference only needs communities at stop, so huge runs
@@ -501,9 +593,38 @@ class EngineBase:
         if ((self._mutual is not None or self.n * self.k <= (1 << 24))
                 and not light):
             self.log_communities()
+        if not light:
+            self._write_mrstats(_mr0, _mr1, time.time())
         if not getattr(self, "defer_report_hooks", False):
             self._end_of_report()
         return stop and cfg.use_validation_stop
+
+    def _write_mrstats(self, t_report0: float, t_evals: float,
+                       t_comm: float) -> None:
+        """mrstats.txt: per-report phase accounting — the TPU analog of
+        the reference's MRStats map/reduce instrumentation
+        (reference: src/mmsbinfer.hh:201-241, logged at
+        src/mmsbinfer.cc:2631-2669). Columns:
+
+          iteration  duration_s  t_train  t_eval  t_communities
+
+        t_train = wall-clock since the previous report ended (host
+        sampling + the fused device step program — the reference's
+        init+map+reduce phases, which the TPU design fuses into one
+        dispatch); t_eval = the report's likelihood evals + metric-file
+        writes; t_communities = link-community extraction + NMI."""
+        now = time.time()
+        prev = getattr(self, "_mr_prev_end", self._start)
+        if not hasattr(self, "_mrf"):
+            self._mrf = open(self.cfg.file_str("mrstats.txt"),
+                             "a" if getattr(self.cfg, "resume", False)
+                             else "w")
+        self._mrf.write(
+            f"{self.iteration}\t{self.duration()}\t"
+            f"{t_report0 - prev:.4f}\t{t_evals - t_report0:.4f}\t"
+            f"{t_comm - t_evals:.4f}\n")
+        self._mrf.flush()
+        self._mr_prev_end = now
 
     def _end_of_report(self) -> None:
         """Periodic-checkpoint + SIGTERM handling at the END of a report.

@@ -98,6 +98,31 @@ def fastamm_multi_step(gamma, lam, b_pairs, b_y, b_w, b_touched, b_rho,
     return gamma, lam
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("max_iters", "tail_blocks"))
+def fastamm_multi_step_ho(gamma, lam, b_pairs, b_y, b_w, b_touched,
+                          b_rho, alpha, eta, b_scale, b_rhot, do_lambda,
+                          log_eps, tail_pairs, tail_y, tail_w, eps,
+                          max_iters: int, thresh: float = 1e-5,
+                          tail_blocks=()):
+    """fastamm_multi_step + the per-report eval sums on the final state
+    (one dispatch per report; see svi/base.py eval-tail notes)."""
+    from svinet_tpu.evals.likelihood import multi_heldout_sums
+
+    def one(state, xs):
+        g, l = state
+        pairs, y, w, touched, rho, scale, rhot = xs
+        return _fastamm_body(g, l, pairs, y, w, touched, rho, alpha, eta,
+                             scale, rhot, do_lambda, log_eps, max_iters,
+                             thresh), None
+    (gamma, lam), _ = jax.lax.scan(
+        one, (gamma, lam),
+        (b_pairs, b_y, b_w, b_touched, b_rho, b_scale, b_rhot))
+    sums = multi_heldout_sums(gamma, lam, tail_pairs, tail_y, tail_w,
+                              eps, tail_blocks)
+    return gamma, lam, sums
+
+
 class FastAMM(EngineBase):
     """Host driver for -infset (requires a -preprocess run or computes the
     neighborhood sets inline when neighbors.bin is absent)."""
@@ -423,6 +448,23 @@ class FastAMM(EngineBase):
         cfg = self.cfg
         batches = [self._prepare(self.iteration + b) for b in range(count)]
         do_lam = jnp.float32(0.0 if cfg.nolambda else 1.0)
+        self._tail_res = None
+        tail = self._tail_device_sets()
+        stack = lambda i, dt: jnp.asarray(
+            np.stack([b[i] for b in batches]).astype(dt))
+        if tail is not None:
+            tp, ty, tw, tnb, _ = tail
+            self.gamma, self.lam, sums = fastamm_multi_step_ho(
+                self.gamma, self.lam, stack(0, np.int32),
+                stack(1, np.int32), stack(2, np.float32),
+                stack(3, np.int32), stack(4, np.float32),
+                self.alpha, self.eta, stack(5, np.float32),
+                stack(6, np.float32), do_lam, self.log_eps,
+                tp, ty, tw, jnp.float32(cfg.epsilon),
+                max_iters=cfg.online_iterations,
+                thresh=cfg.meanchangethresh, tail_blocks=tnb)
+            self._stash_tail(sums)
+            return
         if count == 1:
             pp, yy, ww, touched, rho, scale, rhot = batches[0]
             self.gamma, self.lam = fastamm_step(
@@ -433,8 +475,6 @@ class FastAMM(EngineBase):
                 max_iters=cfg.online_iterations,
                 thresh=cfg.meanchangethresh)
             return
-        stack = lambda i, dt: jnp.asarray(
-            np.stack([b[i] for b in batches]).astype(dt))
         self.gamma, self.lam = fastamm_multi_step(
             self.gamma, self.lam, stack(0, np.int32), stack(1, np.int32),
             stack(2, np.float32), stack(3, np.int32), stack(4, np.float32),

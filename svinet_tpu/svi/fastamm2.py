@@ -92,9 +92,9 @@ class FastAMM2(EngineBase):
                 self._mesh, per // self._block, cfg.online_iterations,
                 cfg.meanchangethresh)
             (self.gamma, self.lam, self.alpha, self.eta,
-             self._log_eps_d) = device_put_replicated(
+             self._log_eps_d, self._tail_eps) = device_put_replicated(
                 self._mesh, self.gamma, self.lam, self.alpha, self.eta,
-                jnp.float32(self.log_eps))
+                jnp.float32(self.log_eps), jnp.float32(cfg.epsilon))
             cfg.plog("mesh devices", nd)
         self.precision_pairs = network.precision_pairs
         self.precision_y = network.precision_y
@@ -179,11 +179,21 @@ class FastAMM2(EngineBase):
         return pp, yy, ww, scale, scale, noderhot, rhot, \
             (0.0 if cfg.nolambda else 1.0)
 
+    def _tail_put(self, arr):
+        if self._mesh is not None:
+            from svinet_tpu.parallel.mesh import device_put_replicated
+            out, = device_put_replicated(self._mesh, arr)
+            return out
+        return jnp.asarray(arr)
+
     def _step_many(self, count: int) -> None:
-        """Fused report interval (host sampling, device scan)."""
-        from svinet_tpu.svi.mmsb import svi_multi_step
+        """Fused report interval (host sampling, device scan) with the
+        per-report eval sums riding the program's tail (base.py)."""
+        from svinet_tpu.svi.mmsb import svi_multi_step, svi_multi_step_ho
         cfg = self.cfg
         batches = [self._prepare(self.iteration + b) for b in range(count)]
+        self._tail_res = None
+        tail = self._tail_device_sets()
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from svinet_tpu.parallel.mesh import global_put
@@ -191,16 +201,39 @@ class FastAMM2(EngineBase):
             rep = NamedSharding(self._mesh, P())
             st = lambda i, dt, sp: global_put(
                 np.stack([b[i] for b in batches]).astype(dt), sp)
-            self.gamma, self.lam = self._mesh_step(
+            mesh_tail = None
+            if tail is not None:
+                mesh_tail = (tail[0], tail[1], tail[2], tail[3],
+                             self._tail_eps)
+            out = self._mesh_step(
                 self.gamma, self.lam, st(0, np.int32, shard),
                 st(1, np.int32, shard), st(2, np.float32, shard),
                 self.alpha, self.eta, st(3, np.float32, rep),
                 st(4, np.float32, rep), st(5, np.float32, rep),
                 st(6, np.float32, rep), st(7, np.float32, rep),
-                self._log_eps_d, count)
+                self._log_eps_d, count, tail=mesh_tail)
+            if mesh_tail is not None:
+                self.gamma, self.lam, sums = out
+                self._stash_tail(sums)
+            else:
+                self.gamma, self.lam = out
             return
         stack = lambda i, dt: jnp.asarray(
             np.stack([b[i] for b in batches]).astype(dt))
+        if tail is not None:
+            tp, ty, tw, tnb, _ = tail
+            self.gamma, self.lam, sums = svi_multi_step_ho(
+                self.gamma, self.lam, stack(0, np.int32),
+                stack(1, np.int32), stack(2, np.float32), self.alpha,
+                self.eta, stack(3, np.float32), stack(4, np.float32),
+                stack(5, np.float32), stack(6, np.float32),
+                stack(7, np.float32), jnp.float32(self.log_eps),
+                tp, ty, tw, jnp.float32(cfg.epsilon),
+                num_blocks=self._pad // self._block,
+                max_iters=cfg.online_iterations,
+                thresh=cfg.meanchangethresh, tail_blocks=tnb)
+            self._stash_tail(sums)
+            return
         self.gamma, self.lam = svi_multi_step(
             self.gamma, self.lam, stack(0, np.int32), stack(1, np.int32),
             stack(2, np.float32), self.alpha, self.eta,

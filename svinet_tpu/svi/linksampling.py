@@ -260,6 +260,31 @@ def linksampling_multi_sweep_ho(gamma, lam, edges, mask, deg,
     return (g, l, sums) if conv is None else (g, l, sums, cv)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("num_blocks", "n_sweeps", "W",
+                                    "ho_blocks"))
+def linksampling_sparse_multi_sweep(gamma, lam, mphi, edges, mask, deg,
+                                    consts: LSConsts, annealing,
+                                    ho_pairs, ho_y, ho_w, eps,
+                                    num_blocks: int, n_sweeps: int,
+                                    W: int, ho_blocks: int):
+    """n_sweeps top-W union sweeps (-sparse-w) fused into one device
+    program, with the heldout-sums tail when ho_blocks > 0 (see
+    sweep_math.sparse_union_sweep_body for the sparse semantics)."""
+    from svinet_tpu.svi.sweep_math import sparse_union_sweep_body
+
+    def body(_, state):
+        g, l, m = state
+        return sparse_union_sweep_body(g, l, m, edges, mask, deg,
+                                       consts, annealing, num_blocks, W)
+    g, l, m = jax.lax.fori_loop(0, n_sweeps, body, (gamma, lam, mphi))
+    if ho_blocks:
+        from svinet_tpu.evals.likelihood import heldout_sums_blocked
+        return g, l, m, heldout_sums_blocked(g, l, ho_pairs, ho_y, ho_w,
+                                             eps, ho_blocks)
+    return g, l, m
+
+
 @jax.jit
 def _active_counts(gamma, alpha):
     """Per-node count of communities with gamma - alpha >= 1 (the
@@ -474,6 +499,24 @@ class LinkSampling(EngineBase):
         self._conv = (jnp.zeros(n, jnp.int32)
                       if cfg.freeze_converged else None)
 
+        # -sparse-w W: top-W union sweep (single-device; engages after
+        # annealing — the reference's pruning only starts late too,
+        # src/linksampling.cc:634). Supersedes -fuse-s3 (the lagged s3
+        # rides the sparse pass) and excludes the dense-path extras.
+        if cfg.sparse_w:
+            if cfg.mesh_devices > 1 or cfg.mesh_rowshard:
+                raise SystemExit("-sparse-w is single-device; drop -mesh")
+            if cfg.freeze_converged:
+                raise SystemExit("-sparse-w does not support -freeze")
+            if cfg.sparse_w >= self.k:
+                print(f"+ -sparse-w {cfg.sparse_w} >= k={self.k}; "
+                      "running dense")
+                cfg.sparse_w = 0
+            else:
+                cfg.prune = False
+                cfg.fuse_s3 = False
+                cfg.plog("sparse union width", cfg.sparse_w)
+
         if cfg.fuse_s3 and cfg.freeze_converged:
             print("+ -fuse-s3 has no converged-freezing fast path; "
                   "running unfused to honor -freeze")
@@ -682,7 +725,7 @@ class LinkSampling(EngineBase):
         d["annealing"] = bool(self.annealing)
         d["anneal_hist"] = [float(x) for x in
                             getattr(self, "_anneal_hist", [])]
-        if self.cfg.fuse_s3:
+        if self.cfg.fuse_s3 or self.cfg.sparse_w:
             # the carried s3 state: without it a resumed fused run re-runs
             # one transient sweep with s3=0 and resume != uninterrupted
             m = getattr(self, "mphi", None)
@@ -737,6 +780,29 @@ class LinkSampling(EngineBase):
                     self.gamma, self.lam, self._conv = out
                 else:
                     self.gamma, self.lam = out
+            return
+        # -sparse-w: top-W union sweep once annealing is over (during
+        # annealing all columns are near-equal and a top-W cut is
+        # arbitrary — fall through to the dense path until then)
+        if self.cfg.sparse_w and not self.annealing:
+            if not hasattr(self, "mphi"):
+                self.mphi = jnp.zeros((self.n, self.k), jnp.float32)
+            if self._ho_dev is not None:
+                hp, hy, hw, nb = self._ho_dev
+                (self.gamma, self.lam, self.mphi,
+                 self._ho_res) = linksampling_sparse_multi_sweep(
+                    self.gamma, self.lam, self.mphi, self.edges,
+                    self.mask, self.deg, self.consts, ann, hp, hy, hw,
+                    jnp.float32(self.cfg.epsilon), self.num_blocks,
+                    n_sweeps, int(self.cfg.sparse_w), nb)
+            else:
+                z = jnp.zeros(1, jnp.float32)
+                (self.gamma, self.lam,
+                 self.mphi) = linksampling_sparse_multi_sweep(
+                    self.gamma, self.lam, self.mphi, self.edges,
+                    self.mask, self.deg, self.consts, ann, z, z, z,
+                    jnp.float32(self.cfg.epsilon), self.num_blocks,
+                    n_sweeps, int(self.cfg.sparse_w), 0)
             return
         # -bf16 engages only AFTER annealing: the anneal-exit plateau
         # detector needs the f32-resolution nshol trace (measured: bf16
@@ -1176,7 +1242,8 @@ class LinkSampling(EngineBase):
         use_trace = (B > 1
                      and (self._ho_dev is not None
                           or self._ho_mesh is not None)
-                     and not cfg.freeze_converged)
+                     and not cfg.freeze_converged
+                     and not cfg.sparse_w)
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()

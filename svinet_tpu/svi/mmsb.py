@@ -195,6 +195,40 @@ def svi_multi_step(gamma, lam, batch_pairs, batch_y, batch_w, alpha, eta,
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("num_blocks", "max_iters", "infthresh",
+                                    "nonuniform", "tail_blocks"))
+def svi_multi_step_ho(gamma, lam, batch_pairs, batch_y, batch_w, alpha,
+                      eta, gscales, lscales, noderhots, rhots, do_lambdas,
+                      log_eps, tail_pairs, tail_y, tail_w, eps,
+                      num_blocks: int, max_iters: int,
+                      thresh: float = 1e-5, infthresh: float = 0.0,
+                      nonuniform: bool = False, tail_blocks=()):
+    """svi_multi_step + the per-report pair-set sums (stop split,
+    validation split, training sample) evaluated on the FINAL state as
+    the tail of the same program — one dispatch per report instead of
+    step + 2-3 standalone evals (round-4 review item 5; reference
+    evaluates each set in its own pass, src/mmsbinfer.cc:2085-2174).
+    Returns (gamma, lam, (S, 6) sums)."""
+    from svinet_tpu.evals.likelihood import multi_heldout_sums
+
+    def one(state, xs):
+        g, l = state
+        pairs, y, w, gs, ls, nr, rt, dl = xs
+        g, l = svi_step.__wrapped__(
+            g, l, pairs, y, w, alpha, eta, gs, ls, nr, rt, dl, log_eps,
+            num_blocks, max_iters, thresh, infthresh, nonuniform)
+        return (g, l), None
+
+    (gamma, lam), _ = jax.lax.scan(
+        one, (gamma, lam),
+        (batch_pairs, batch_y, batch_w, gscales, lscales, noderhots,
+         rhots, do_lambdas))
+    sums = multi_heldout_sums(gamma, lam, tail_pairs, tail_y, tail_w,
+                              eps, tail_blocks)
+    return gamma, lam, sums
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
                    static_argnames=("num_blocks", "max_iters"))
 def batch_step(gamma, lam, pairs, y, w, alpha, eta, do_lambda, log_eps,
                num_blocks: int, max_iters: int, thresh: float = 1e-5):
@@ -207,6 +241,23 @@ def batch_step(gamma, lam, pairs, y, w, alpha, eta, do_lambda, log_eps,
     gamma = alpha + gacc
     lam = jnp.where(do_lambda > 0, eta + lacc, lam)
     return gamma, lam
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("num_blocks", "max_iters",
+                                    "tail_blocks"))
+def batch_step_ho(gamma, lam, pairs, y, w, alpha, eta, do_lambda,
+                  log_eps, tail_pairs, tail_y, tail_w, eps,
+                  num_blocks: int, max_iters: int, thresh: float = 1e-5,
+                  tail_blocks=()):
+    """batch_step + the eval tail (see svi_multi_step_ho)."""
+    from svinet_tpu.evals.likelihood import multi_heldout_sums
+    gamma, lam = batch_step.__wrapped__(
+        gamma, lam, pairs, y, w, alpha, eta, do_lambda, log_eps,
+        num_blocks, max_iters, thresh)
+    sums = multi_heldout_sums(gamma, lam, tail_pairs, tail_y, tail_w,
+                              eps, tail_blocks)
+    return gamma, lam, sums
 
 
 def init_gamma_random(rng: np.random.Generator, n: int, k: int,
@@ -272,9 +323,9 @@ class MMSBInfer(EngineBase):
             self._nd = nd
             self._mesh_fns = {}
             (self.gamma, self.lam, self.alpha, self.eta,
-             self._log_eps_d) = device_put_replicated(
+             self._log_eps_d, self._tail_eps) = device_put_replicated(
                 self._mesh, self.gamma, self.lam, self.alpha, self.eta,
-                jnp.float32(self.log_eps))
+                jnp.float32(self.log_eps), jnp.float32(cfg.epsilon))
             cfg.plog("mesh devices", nd)
         # trace files keep pre-resume history like the other report files
         _m = "a" if cfg.resume else "w"
@@ -309,6 +360,13 @@ class MMSBInfer(EngineBase):
             from svinet_tpu.parallel.mesh import device_put_replicated
             self.gamma, self.lam = device_put_replicated(
                 self._mesh, self.gamma, self.lam)
+
+    def _tail_put(self, arr):
+        if self._mesh is not None:
+            from svinet_tpu.parallel.mesh import device_put_replicated
+            out, = device_put_replicated(self._mesh, arr)
+            return out
+        return jnp.asarray(arr)
 
     # ------------------------------------------------------------------
     def _y_of(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
@@ -442,6 +500,8 @@ class MMSBInfer(EngineBase):
         batches = [self._prepare_minibatch(self.iteration + b)
                    for b in range(count)]
         pad_to = batches[0][-1]
+        self._tail_res = None
+        tail = self._tail_device_sets()
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from svinet_tpu.parallel.mesh import (
@@ -456,16 +516,41 @@ class MMSBInfer(EngineBase):
                     self._mesh, nbs, cfg.online_iterations,
                     cfg.meanchangethresh, float(cfg.infthresh),
                     nonuniform=self._nonuniform)
-            self.gamma, self.lam = self._mesh_fns[nbs](
+            mesh_tail = None
+            if tail is not None:
+                tp, ty, tw, tnb, _ = tail
+                mesh_tail = (tp, ty, tw, tnb, self._tail_eps)
+            out = self._mesh_fns[nbs](
                 self.gamma, self.lam, st(0, np.int32, shard),
                 st(1, np.int32, shard), st(2, np.float32, shard),
                 self.alpha, self.eta, st(3, np.float32, rep),
                 st(4, np.float32, rep), st(5, np.float32, rep),
                 st(6, np.float32, rep), st(7, np.float32, rep),
-                self._log_eps_d, count)
+                self._log_eps_d, count, tail=mesh_tail)
+            if mesh_tail is not None:
+                self.gamma, self.lam, sums = out
+                self._stash_tail(sums)
+            else:
+                self.gamma, self.lam = out
             return
         stack = lambda i, dt: jnp.asarray(
             np.stack([b[i] for b in batches]).astype(dt))
+        if tail is not None:
+            tp, ty, tw, tnb, _ = tail
+            self.gamma, self.lam, sums = svi_multi_step_ho(
+                self.gamma, self.lam, stack(0, np.int32),
+                stack(1, np.int32), stack(2, np.float32), self.alpha,
+                self.eta, stack(3, np.float32), stack(4, np.float32),
+                stack(5, np.float32), stack(6, np.float32),
+                stack(7, np.float32), jnp.float32(self.log_eps),
+                tp, ty, tw, jnp.float32(cfg.epsilon),
+                num_blocks=pad_to // self._block,
+                max_iters=cfg.online_iterations,
+                thresh=cfg.meanchangethresh,
+                infthresh=float(cfg.infthresh),
+                nonuniform=self._nonuniform, tail_blocks=tnb)
+            self._stash_tail(sums)
+            return
         self.gamma, self.lam = svi_multi_step(
             self.gamma, self.lam, stack(0, np.int32), stack(1, np.int32),
             stack(2, np.float32), self.alpha, self.eta,
@@ -554,6 +639,7 @@ class MMSBInfer(EngineBase):
         pp[:len(pairs)] = pairs
         yy[:len(y)] = y
         mask[:len(pairs)] = 1.0
+        tail = self._tail_device_sets()
         if self._mesh is not None:
             # all-pairs set sharded across the mesh; one psum per pass
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -569,25 +655,48 @@ class MMSBInfer(EngineBase):
             from svinet_tpu.parallel.mesh import device_put_replicated
             do_lambda, = device_put_replicated(
                 self._mesh, jnp.float32(0.0 if cfg.nolambda else 1.0))
-            sharded_step = lambda g, l: step(
+            mesh_tail = (None if tail is None else
+                         (tail[0], tail[1], tail[2], tail[3],
+                          self._tail_eps))
+            sharded_step = lambda g, l, t: step(
                 g, l, pairs_d, y_d, w_d, self.alpha, self.eta,
-                do_lambda, self._log_eps_d)
+                do_lambda, self._log_eps_d,
+                tail=(mesh_tail if t else None))
         else:
             pairs_d = jnp.asarray(pp)
             y_d = jnp.asarray(yy)
             w_d = jnp.asarray(mask)
             nb = pt // self._block
             do_lambda = jnp.float32(0.0 if cfg.nolambda else 1.0)
-            sharded_step = lambda g, l: batch_step(
-                g, l, pairs_d, y_d, w_d, self.alpha, self.eta,
-                do_lambda, jnp.float32(self.log_eps), num_blocks=nb,
-                max_iters=cfg.online_iterations,
-                thresh=cfg.meanchangethresh)
+
+            def sharded_step(g, l, t):
+                if t and tail is not None:
+                    tp, ty, tw, tnb, _ = tail
+                    return batch_step_ho(
+                        g, l, pairs_d, y_d, w_d, self.alpha, self.eta,
+                        do_lambda, jnp.float32(self.log_eps), tp, ty, tw,
+                        jnp.float32(cfg.epsilon), num_blocks=nb,
+                        max_iters=cfg.online_iterations,
+                        thresh=cfg.meanchangethresh, tail_blocks=tnb)
+                return batch_step(
+                    g, l, pairs_d, y_d, w_d, self.alpha, self.eta,
+                    do_lambda, jnp.float32(self.log_eps), num_blocks=nb,
+                    max_iters=cfg.online_iterations,
+                    thresh=cfg.meanchangethresh)
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
                 return
-            self.gamma, self.lam = sharded_step(self.gamma, self.lam)
+            self._tail_res = None
+            # the eval tail rides only the report-boundary pass
+            at_report = (self.iteration + 1) % cfg.reportfreq == 0
+            out = sharded_step(self.gamma, self.lam,
+                               at_report and tail is not None)
+            if at_report and tail is not None:
+                self.gamma, self.lam, sums = out
+                self._stash_tail(sums)
+            else:
+                self.gamma, self.lam = out
             self.iteration += 1
             if self.iteration % cfg.reportfreq == 0:
                 if self.report():

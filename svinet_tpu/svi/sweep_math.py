@@ -206,6 +206,86 @@ def fused_phi_s3_pass(packed, elb0, edges, mask, num_blocks: int
     return gacc, sumk, s3
 
 
+def sparse_union_sweep_body(gamma, lam, mphi, edges, mask, deg,
+                            consts: LSConsts, annealing, num_blocks: int,
+                            W: int):
+    """Per-node top-W UNION sweep (-sparse-w): the TPU form of the
+    regime where the reference's active-community pruning actually wins
+    — per-pair phi computed only over the union of the endpoints'
+    active lists (reference: src/linksampling.cc:634-664). Gamma stays
+    dense (n,K); the edge pass cost drops from O(K) to O(W):
+
+      1. per node, the top-W columns of gamma approximate the active
+         list (the reference's criterion gamma - alpha >= 1 is
+         data-dependent-width; top-W is its static-shape analog);
+      2. per edge, phi is a softmax over the 2W-slot union (duplicate
+         ids masked via a per-row sort) with EXACT logits — the values
+         Elogpi[q, k] for k in p's list come from flat gathers into the
+         dense array, exactly as the reference reads its dense Elogpi
+         under sparse iteration;
+      3. sufficient stats scatter-add at (node, column) flat indices;
+         the lagged s3 cross-moment rides the same pass over the same
+         union (the -fuse-s3 one-sweep-lag semantics, parity-pinned by
+         tests/test_parity.py::test_lfr_fused_s3).
+
+    With W >= K the union covers every column and the sweep is exactly
+    the dense fused sweep (pinned by test_sparse_w_full_width_matches
+    _dense). Like the reference's pruning, engage AFTER annealing only
+    (the engine gates it): during annealing all columns are near-equal
+    and a top-W cut is arbitrary.
+
+    Returns (gnext, lam_new, mphi_new)."""
+    import jax.numpy as jnp
+    from svinet_tpu.ops.expectations import dirichlet_expectation
+    n, k = gamma.shape
+    elogpi = dirichlet_expectation(gamma)
+    elogbeta = dirichlet_expectation(lam)
+    elb0 = elogbeta[:, 0]
+    _, ids = jax.lax.top_k(gamma, W)
+    ids = ids.astype(jnp.int32)
+    topvals = jnp.take_along_axis(elogpi, ids, axis=1)
+    flat_e = elogpi.reshape(-1)
+    flat_m = mphi.reshape(-1)
+    e_blocks = edges.reshape(num_blocks, -1, 2)
+    m_blocks = mask.reshape(num_blocks, -1)
+
+    def block(carry, blk):
+        gacc_flat, sumk, s3 = carry
+        e, m = blk
+        p, q = e[:, 0], e[:, 1]
+        idp, idq = ids[p], ids[q]
+        cand = jnp.concatenate([idp, idq], axis=1)          # (B, 2W)
+        lq_at_p = flat_e[q[:, None] * k + idp]
+        lp_at_q = flat_e[p[:, None] * k + idq]
+        logits = jnp.concatenate(
+            [topvals[p] + lq_at_p, lp_at_q + topvals[q]], axis=1)
+        logits = logits + elb0[cand]
+        sort_ids, sort_logits = jax.lax.sort((cand, logits), num_keys=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((cand.shape[0], 1), bool),
+             sort_ids[:, 1:] == sort_ids[:, :-1]], axis=1)
+        phi = jax.nn.softmax(jnp.where(dup, -jnp.inf, sort_logits),
+                             axis=-1)
+        phi = jnp.where(dup, 0.0, phi) * m[:, None]
+        slot_p = p[:, None] * k + sort_ids
+        slot_q = q[:, None] * k + sort_ids
+        gacc_flat = gacc_flat.at[slot_p].add(phi)
+        gacc_flat = gacc_flat.at[slot_q].add(phi)
+        sumk = sumk.at[sort_ids].add(2.0 * phi)
+        contrib = jnp.where(dup, 0.0, flat_m[slot_p] * flat_m[slot_q])
+        s3 = s3.at[sort_ids].add(contrib * m[:, None])
+        return (gacc_flat, sumk, s3), None
+
+    (gacc_flat, sumk, s3), _ = jax.lax.scan(
+        block,
+        (jnp.zeros(n * k, jnp.float32), jnp.zeros((k,), jnp.float32),
+         jnp.zeros((k,), jnp.float32)),
+        (e_blocks, m_blocks))
+    gnext, mphi_new, s1, s2, lam0 = mean_indicator_update(
+        gacc_flat.reshape(n, k), sumk, deg, consts, annealing)
+    return gnext, finish_lambda(s1, s2, s3, lam0, consts), mphi_new
+
+
 def compact_elogpi(gamma_c, rest) -> jax.Array:
     """Dirichlet expectation for COLUMN-COMPACTED gamma (-prune): the
     normalizer psi(sum_k gamma_nk) must span all K columns, so the

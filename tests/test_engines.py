@@ -797,3 +797,98 @@ def test_report_batch_matches_unbatched(tmp_path, assort_path):
                                rtol=2e-5, atol=2e-6)
     g1, g4 = rows(c1, "gamma.txt"), rows(c4, "gamma.txt")
     np.testing.assert_allclose(g4[:, 2:], g1[:, 2:], rtol=2e-4, atol=2e-4)
+
+
+def test_minibatch_eval_tail_matches_standalone(tmp_path, assort_path):
+    """The minibatch engines' per-report heldout/validation/training
+    sums now ride the TAIL of the fused multi-step program (round-4
+    review item 5: one dispatch per report). The tail must reproduce the
+    standalone eval path's report files to f32 resolution: same seed,
+    tail on (default) vs force-disabled."""
+    from svinet_tpu.svi.mmsb import MMSBInfer
+
+    def run(label, disable):
+        # past the iter > min(n,5000) = 75 stop guard so the at-max
+        # validation rows latch (evals/stopping.py)
+        cfg = Config(n=75, k=4, randomnode=True, seed=3,
+                     outdir=str(tmp_path / label), max_iterations=90,
+                     use_validation_stop=False, reportfreq=10)
+        cfg.resolve()
+        net = Network(cfg)
+        net.read(assort_path)
+        eng = MMSBInfer(cfg, net)
+        if disable:
+            eng._tail_disabled = True
+        eng.infer()
+        if not disable:
+            assert eng._tail_res, "tail stash never engaged"
+        return cfg
+
+    ct = run("tail", False)
+    cs = run("notail", True)
+
+    def rows(cfg, name):
+        return np.array([[float(v) for v in l.split()]
+                         for l in open(cfg.file_str(name))])
+
+    for name in ("heldout.txt", "validation.txt", "training.txt",
+                 "max.txt"):
+        a, b = rows(ct, name), rows(cs, name)
+        assert a.shape == b.shape and len(a) >= 1, name
+        np.testing.assert_allclose(a[:, 2:], b[:, 2:], rtol=3e-5,
+                                   atol=3e-5, err_msg=name)
+
+
+def test_fastamm_eval_tail_matches_standalone(tmp_path, assort_path):
+    """Same tail-vs-standalone equality for FastAMM (-infset)."""
+    from svinet_tpu.svi.fastamm import FastAMM
+
+    def run(label, disable):
+        cfg = Config(n=75, k=4, informative_sampling=True, seed=3,
+                     outdir=str(tmp_path / label), max_iterations=40,
+                     use_validation_stop=False, reportfreq=10)
+        cfg.resolve()
+        net = Network(cfg)
+        net.read(assort_path)
+        eng = FastAMM(cfg, net)
+        if disable:
+            eng._tail_disabled = True
+        eng.infer()
+        if not disable:
+            assert eng._tail_res, "tail stash never engaged"
+        return cfg
+
+    ct = run("ftail", False)
+    cs = run("fnotail", True)
+
+    def rows(cfg, name):
+        return np.array([[float(v) for v in l.split()]
+                         for l in open(cfg.file_str(name))])
+
+    for name in ("heldout.txt", "training.txt", "max.txt"):
+        a, b = rows(ct, name), rows(cs, name)
+        assert a.shape == b.shape and len(a) >= 1, name
+        np.testing.assert_allclose(a[:, 2:], b[:, 2:], rtol=3e-5,
+                                   atol=3e-5, err_msg=name)
+
+
+def test_mrstats_schema(tmp_path, assort_path):
+    """mrstats.txt (the reference's MRStats map/reduce phase accounting,
+    src/mmsbinfer.cc:2631-2669): one 5-column row per report —
+    iteration, duration, t_train, t_eval, t_communities."""
+    from svinet_tpu.svi.linksampling import LinkSampling
+    cfg = Config(n=75, k=4, link_sampling=True, seed=1,
+                 outdir=str(tmp_path / "mr"), max_iterations=6,
+                 use_validation_stop=False, reportfreq=2)
+    cfg.resolve()
+    net = Network(cfg)
+    net.read(assort_path)
+    eng = LinkSampling(cfg, net)
+    eng.infer()
+    rows = [l.split() for l in open(cfg.file_str("mrstats.txt"))]
+    assert len(rows) >= 3
+    for r in rows:
+        assert len(r) == 5
+        assert float(r[2]) >= 0 and float(r[3]) >= 0 and float(r[4]) >= 0
+    # iterations match the report cadence
+    assert [int(r[0]) for r in rows][:2] == [0, 2]

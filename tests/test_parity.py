@@ -229,3 +229,73 @@ def test_lfr_bf16_rows(tmp_path, lfr_paths, monkeypatch):
     m = re.search(r"annealing ended at iteration (\d+)", log)
     assert m and int(m.group(1)) <= 90, \
         "bf16 must not stall the annealing exit (f32 during annealing)"
+
+
+def test_sparse_w_full_width_matches_dense():
+    """-sparse-w with W = K: the 2W union covers every column (each id
+    twice, duplicates masked), so one sparse sweep must equal one dense
+    -fuse-s3 sweep exactly (same lagged-s3 semantics)."""
+    import jax.numpy as jnp
+    from svinet_tpu.svi.linksampling import (
+        linksampling_fused_multi_sweep, linksampling_sparse_multi_sweep)
+    from svinet_tpu.svi.sweep_math import LSConsts
+    rng = np.random.default_rng(0)
+    n, k, E, block = 48, 6, 128, 64
+    p = rng.integers(0, n - 1, E)
+    q = rng.integers(1, n, E)
+    q = np.where(q <= p, p + 1, q)
+    edges = jnp.asarray(np.stack([p, q], 1).astype(np.int32))
+    mask = jnp.asarray(np.ones(E, np.float32))
+    deg = np.zeros(n, np.float32)
+    np.add.at(deg, p, 1)
+    np.add.at(deg, q, 1)
+    gamma_np = rng.gamma(1.0, 1.0, (n, k)).astype(np.float32)
+    lam_np = np.tile([1.0, 1.0], (k, 1)).astype(np.float32)
+    mphi_np = rng.uniform(0, 0.2, (n, k)).astype(np.float32)
+    gamma = jnp.asarray(gamma_np)
+    lam = jnp.asarray(lam_np)
+    mphi = jnp.asarray(mphi_np)
+    consts = LSConsts(jnp.float32(1.0 / k),
+                      jnp.asarray([1.0, 1.0], jnp.float32),
+                      jnp.float32(E), jnp.float32(n))
+    ann = jnp.float32(0.0)
+    gd, ld, md = linksampling_fused_multi_sweep(
+        gamma, lam, mphi, edges, mask, jnp.asarray(deg), consts, ann,
+        E // block, 2)
+    z = jnp.zeros(1, jnp.float32)
+    gs, ls, ms = linksampling_sparse_multi_sweep(
+        jnp.asarray(gamma_np), jnp.asarray(lam_np),
+        jnp.asarray(mphi_np), edges, mask, jnp.asarray(deg),
+        consts, ann, z, z, z, jnp.float32(1e-30), E // block, 2, k, 0)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ld),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(md),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_lfr_sparse_w(tmp_path, lfr_paths, monkeypatch):
+    """-sparse-w 8 at K=28 on LFR: the top-W union sweep (the
+    reference's active-list pruning regime) must hold the statistical
+    parity bands — post-anneal each node's active list is far narrower
+    than 8, so the union covers the mass."""
+    monkeypatch.chdir(tmp_path)
+    cfg = parse_args([
+        "-file", lfr_paths["network"], "-n", "1000", "-k", "28",
+        "-link-sampling", "-sparse-w", "8", "-nmi",
+        lfr_paths["ground_truth"], "-seed", "1", "-label", "sparsew",
+        "-max-iterations", "120",
+    ])
+    net = Network(cfg)
+    net.read(cfg.datfname)
+    from svinet_tpu.svi.linksampling import LinkSampling
+    eng = LinkSampling(cfg, net)
+    assert cfg.sparse_w == 8
+    eng.infer()
+    nmis = [float(line.split()[-1])
+            for line in open(cfg.file_str("mutual.txt"))]
+    assert max(nmis) >= 0.95, f"NMI too low: {max(nmis)}"
+    maxrow = open(cfg.file_str("max.txt")).read().split()
+    best_nshol = float(maxrow[4])
+    assert -0.118 < best_nshol < -0.104, f"nshol out of range: {best_nshol}"
