@@ -58,7 +58,7 @@ svinet [OPTIONS]
 \t-freeze\t\tfreeze converged nodes (consolidates overshot K)
 \t-fuse-s3\tfold the s3 cross-moment into the phi pass (1-sweep lag)
 \t-bf16\tstore gathered sweep rows in bfloat16 (f32 accumulation)
-\t-no-prune\tdisable active-K column compaction after annealing
+\t-prune\tenable active-K column compaction after annealing (default off)
 \t-no-force\trefuse to overwrite an existing non-empty output dir
 \t-prune-frac F\tcompact when padded active width <= F*K (default 0.5)
 \t-fastqueue <W>\tsparse top-W gamma for -infset at huge K
@@ -136,6 +136,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.fuse_s3 = True
         elif a == "-bf16":
             cfg.bf16_rows = True
+        elif a == "-prune":
+            cfg.prune = True
         elif a == "-no-prune":
             cfg.prune = False
         elif a == "-prune-frac":

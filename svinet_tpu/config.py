@@ -154,11 +154,16 @@ class Config:
                                     # gather bytes — the roofline's
                                     # dominant term); accumulation and
                                     # all state stay f32
-    prune: bool = True              # active-K column compaction after
+    prune: bool = False             # active-K column compaction after
                                     # annealing (TPU form of the
                                     # reference's active-k pruning,
                                     # src/linksampling.cc:634-664);
-                                    # -no-prune disables
+                                    # round-5 default OFF: the trigger
+                                    # regime is empty on real fits and
+                                    # the sparse union sweep loses to
+                                    # dense through K=8000 on the v5e
+                                    # (tools/sparse_crossover.py);
+                                    # enable with -prune
     prune_frac: float = 0.5         # compact only when the padded active
                                     # width is <= this fraction of K
                                     # (guarantees >= 2x narrower sweeps)

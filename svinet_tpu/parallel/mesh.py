@@ -406,14 +406,19 @@ def make_mesh_trace_sweep(mesh: Mesh, num_blocks_per_shard: int,
             def batch(state, _):
                 g, l, m = jax.lax.fori_loop(0, r, sweep, state)
                 beta = l[:, 0] / (l[:, 0] + l[:, 1])
-                pi_l = g / g.sum(axis=1, keepdims=True)
                 if rowshard:
-                    rows = jnp.take(pi_l, hidx, axis=0, mode="clip")
+                    # gather the heldout-touched gamma rows FIRST, then
+                    # normalize — materializing full (n/d, K) pi before
+                    # the gather costs an extra n*K/d buffer (2 GB at
+                    # the stretch shape) inside the scan
+                    rows = jnp.take(g, hidx, axis=0, mode="clip")
+                    rows = rows / rows.sum(axis=1, keepdims=True)
                     table = jax.lax.all_gather(rows, axis, tiled=True)
                     sums = jax.lax.psum(
                         heldout_sums_from_pi(table, beta, hpairs, hy, hw,
                                              eps, ho_blocks), axis)
                 else:
+                    pi_l = g / g.sum(axis=1, keepdims=True)
                     sums = heldout_sums_from_pi(pi_l, beta, hpairs, hy,
                                                 hw, eps, ho_blocks)
                 return (g, l, m), sums

@@ -74,7 +74,11 @@ def gen() -> None:
     print(f"+ planted cover: {len(comms)} communities")
 
 
-def run(max_iters: int, rfreq: int, fuse_s3: bool = False) -> None:
+LABEL = os.environ.get("SVINET_STRETCH_LABEL", "stretch")
+
+
+def run(max_iters: int, rfreq: int, fuse_s3: bool = False,
+        report_batch: int = 1) -> None:
     os.chdir(WORKDIR)
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
@@ -82,11 +86,13 @@ def run(max_iters: int, rfreq: int, fuse_s3: bool = False) -> None:
            "-file", os.path.join(WORKDIR, "gen", "network_gen.dat"),
            "-n", str(N), "-k", str(K), "-link-sampling",
            "-mesh", "1", "-mesh-rowshard",
-           "-seed", str(SEED), "-label", "stretch",
+           "-seed", str(SEED), "-label", LABEL,
            "-rfreq", str(rfreq), "-max-iterations", str(max_iters),
            "-checkpoint-freq", "300", "-resume"]
     if fuse_s3:
         cmd.append("-fuse-s3")
+    if report_batch > 1:
+        cmd += ["-report-batch", str(report_batch)]
     t0 = time.time()
     rc = subprocess.call(cmd, env=env)
     if rc != 0:
@@ -95,7 +101,7 @@ def run(max_iters: int, rfreq: int, fuse_s3: bool = False) -> None:
 
 
 def _outdir() -> str:
-    return os.path.join(WORKDIR, f"n{N}-k{K}-stretch-seed{SEED}"
+    return os.path.join(WORKDIR, f"n{N}-k{K}-{LABEL}-seed{SEED}"
                                  "-linksampling")
 
 
@@ -156,11 +162,14 @@ def main() -> None:
     ap.add_argument("--rfreq", type=int, default=10)
     ap.add_argument("--fuse-s3", action="store_true",
                     help="run with -fuse-s3 (round-3 sweep fusion)")
+    ap.add_argument("--report-batch", type=int, default=1,
+                    help="-report-batch B (round-5: rides the rowshard "
+                         "trace program)")
     args = ap.parse_args()
     if args.gen:
         gen()
     if args.run:
-        run(args.max_iters, args.rfreq, args.fuse_s3)
+        run(args.max_iters, args.rfreq, args.fuse_s3, args.report_batch)
     if args.score:
         score()
 
