@@ -381,6 +381,8 @@ class Network:
             b = comp[q]
             lo, hi = np.minimum(a, b), np.maximum(a, b)
             keep = lo != hi
+            if not keep.any():
+                break          # every edge internal: nothing to merge
             key = lo[keep] * m + hi[keep]
             ks = np.sort(key)
             start = np.flatnonzero(

@@ -435,9 +435,10 @@ class EngineBase:
         and the per-report training sample. Returns (pairs_tuple,
         y_tuple, w_tuple, blocks_tuple, names) — None when there is
         nothing to evaluate."""
-        cached = getattr(self, "_tail_cache", None)
-        if cached is not None or getattr(self, "_tail_disabled", False):
-            return cached
+        if (getattr(self, "_tail_cache_done", False)
+                or getattr(self, "_tail_disabled", False)):
+            return getattr(self, "_tail_cache", None)
+        self._tail_cache_done = True
         net = self.network
 
         def pad(pairs, y):

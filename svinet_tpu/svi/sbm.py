@@ -223,6 +223,37 @@ def sbm_stoch_step(phi, gamma, lam, r, dst, y, w, noderho, alpha, eta,
     return phi, gamma, lam
 
 
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("estep_rounds", "n_iters"))
+def sbm_batch_multi_step(phi, gamma, lam, edges, mask, held_pairs,
+                         held_mask, chunk_edges, chunk_emask, chunk_held,
+                         chunk_hmask, alpha, eta, n_valid_pairs,
+                         val_pairs, val_y, estep_rounds: int = 10,
+                         n_iters: int = 1):
+    """n_iters batch coordinate-ascent iterations fused into one device
+    program, with the heldout sums of the FINAL state as the tail —
+    one dispatch per report interval instead of one per iteration plus
+    a standalone eval (the same tunnel-latency fusion as the other
+    engines; round-4 review item 5). Returns (phi, gamma, lam,
+    sums (6,))."""
+    def body(_, st):
+        p_, g_, l_ = st
+        return sbm_batch_step.__wrapped__(
+            p_, g_, l_, edges, mask, held_pairs, held_mask, chunk_edges,
+            chunk_emask, chunk_held, chunk_hmask, alpha, eta,
+            n_valid_pairs, estep_rounds)
+    phi, gamma, lam = jax.lax.fori_loop(0, n_iters, body,
+                                        (phi, gamma, lam))
+    ll = sbm_edge_loglik.__wrapped__(phi, lam, val_pairs, val_y)
+    ones = val_y == 1
+    onesf = ones.astype(jnp.float32)
+    sums = jnp.array([
+        ll.sum(), jnp.float32(ll.shape[0]),
+        jnp.where(ones, 0.0, ll).sum(), (1.0 - onesf).sum(),
+        jnp.where(ones, ll, 0.0).sum(), onesf.sum()])
+    return phi, gamma, lam, sums
+
+
 @jax.jit
 def sbm_edge_loglik(phi, lam, pairs, y):
     """Reference: SBM::edge_likelihood2, src/sbm.hh:285-308."""
@@ -339,16 +370,26 @@ class SBM(EngineBase):
     # SBM overrides with its phi-based mixture.
     def report(self) -> bool:
         cfg = self.cfg
-        ll = np.asarray(sbm_edge_loglik(self.phi, self.lam, self.val_pairs,
-                                        self.val_y))
-        y = np.asarray(self.val_y)
-        ones = y == 1
-        res = HeldoutResult(
-            avg=float(ll.mean()), count=len(ll),
-            avg0=float(ll[~ones].mean()) if (~ones).any() else 0.0,
-            count0=int((~ones).sum()),
-            avg1=float(ll[ones].mean()) if ones.any() else 0.0,
-            count1=int(ones.sum()))
+        sums = getattr(self, "_sbm_sums", None)
+        if sums is not None:
+            # sums rode the fused batch program's tail (one dispatch per
+            # report interval)
+            s, c, s0, c0, s1, c1 = (float(v) for v in sums)
+            res = HeldoutResult(
+                avg=s / max(c, 1), count=int(c),
+                avg0=s0 / max(c0, 1), count0=int(c0),
+                avg1=s1 / max(c1, 1), count1=int(c1))
+        else:
+            ll = np.asarray(sbm_edge_loglik(self.phi, self.lam,
+                                            self.val_pairs, self.val_y))
+            y = np.asarray(self.val_y)
+            ones = y == 1
+            res = HeldoutResult(
+                avg=float(ll.mean()), count=len(ll),
+                avg0=float(ll[~ones].mean()) if (~ones).any() else 0.0,
+                count0=int((~ones).sum()),
+                avg1=float(ll[ones].mean()) if ones.any() else 0.0,
+                count1=int(ones.sum()))
         nshol = self._vf.write(self.iteration, self.duration(), res,
                                cfg.zeros_prob, cfg.ones_prob)
         self._hf.write(self.iteration, self.duration(), res,
@@ -359,18 +400,30 @@ class SBM(EngineBase):
 
     def batch_infer(self) -> None:
         cfg = self.cfg
+        r = max(cfg.reportfreq, 1)
         while True:
             if cfg.max_iterations and self.iteration > cfg.max_iterations:
                 self.do_on_stop()
                 return
-            self.phi, self.gamma_k, self.lam = sbm_batch_step(
+            # every iteration up to the next report boundary + the eval
+            # tail in ONE device program
+            todo = r - (self.iteration % r)
+            if cfg.max_iterations:
+                todo = min(todo,
+                           cfg.max_iterations - self.iteration + 1)
+            self._sbm_sums = None
+            (self.phi, self.gamma_k, self.lam,
+             sums) = sbm_batch_multi_step(
                 self.phi, self.gamma_k, self.lam, self.edges, self.mask,
                 self.held_pairs, self.held_mask,
                 self.chunk_edges, self.chunk_emask,
                 self.chunk_held, self.chunk_hmask,
-                jnp.float32(self.sbm_alpha), self.eta, self.n_valid_pairs)
-            self.iteration += 1
-            if self.iteration % cfg.reportfreq == 0:
+                jnp.float32(self.sbm_alpha), self.eta,
+                self.n_valid_pairs, self.val_pairs, self.val_y,
+                n_iters=int(todo))
+            self._sbm_sums = np.asarray(sums)
+            self.iteration += todo
+            if self.iteration % r == 0:
                 if self.report():
                     self.do_on_stop()
                     return
