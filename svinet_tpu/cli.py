@@ -315,10 +315,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         # -mesh-locality: BFS locality permutation of the seq ids BEFORE
         # any split is sampled (pair keys change base), then the
         # row-sharded fused sweep exchanges only boundary rows
-        import jax as _jax
-        if _jax.process_count() > 1:
-            raise SystemExit("-mesh-locality is single-process for now; "
-                             "use -mesh-rowshard across hosts")
         if not cfg.link_sampling:
             raise SystemExit("-mesh-locality requires -link-sampling")
         cfg.mesh_devices = nd = max(cfg.mesh_devices, 1)

@@ -681,41 +681,42 @@ class LinkSampling(EngineBase):
         self._ho_mesh = None
         self._ho_res = None
         import jax as _jax
-        if _jax.process_count() == 1:
-            m = len(network.validation_pairs)
-            if m and getattr(self, "_rowshard", False):
-                from jax.sharding import NamedSharding, PartitionSpec as P
+        m = len(network.validation_pairs)
+        # mesh layouts build GLOBAL arrays (global_put handles the
+        # multi-process case — every process holds the same host copy);
+        # the plain single-device tail stays single-process
+        if m and getattr(self, "_rowshard", False):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from svinet_tpu.parallel.mesh import (
+                rowshard_heldout_layout, global_put)
+            hidx, pp, yy, ww, nb = rowshard_heldout_layout(
+                network.validation_pairs,
+                network.validation_y.astype(np.int32), n,
+                cfg.mesh_devices)
+            row = NamedSharding(self._mesh, P("edges"))
+            self._ho_mesh = tuple(
+                global_put(a, row) for a in (hidx, pp, yy, ww)
+            ) + (nb,)
+        elif m:
+            blk = min(1 << 17,
+                      max(64, 1 << int(np.ceil(np.log2(m)))))
+            nb = (m + blk - 1) // blk
+            tot = nb * blk
+            pp = np.zeros((tot, 2), np.int32)
+            pp[:m] = network.validation_pairs
+            yy = np.zeros(tot, np.int32)
+            yy[:m] = network.validation_y
+            ww = np.zeros(tot, np.float32)
+            ww[:m] = 1.0
+            if getattr(self, "_mesh", None) is not None:
                 from svinet_tpu.parallel.mesh import (
-                    rowshard_heldout_layout, global_put)
-                hidx, pp, yy, ww, nb = rowshard_heldout_layout(
-                    network.validation_pairs,
-                    network.validation_y.astype(np.int32), n,
-                    cfg.mesh_devices)
-                row = NamedSharding(self._mesh, P("edges"))
-                self._ho_mesh = tuple(
-                    global_put(a, row) for a in (hidx, pp, yy, ww)
-                ) + (nb,)
-            elif m:
-                blk = min(1 << 17,
-                          max(64, 1 << int(np.ceil(np.log2(m)))))
-                nb = (m + blk - 1) // blk
-                tot = nb * blk
-                pp = np.zeros((tot, 2), np.int32)
-                pp[:m] = network.validation_pairs
-                yy = np.zeros(tot, np.int32)
-                yy[:m] = network.validation_y
-                ww = np.zeros(tot, np.float32)
-                ww[:m] = 1.0
-                hp, hy, hw = (jnp.asarray(pp), jnp.asarray(yy),
-                              jnp.asarray(ww))
-                if getattr(self, "_mesh", None) is not None:
-                    from svinet_tpu.parallel.mesh import (
-                        device_put_replicated)
-                    hp, hy, hw, hidx = device_put_replicated(
-                        self._mesh, hp, hy, hw, np.zeros(1, np.int32))
-                    self._ho_mesh = (hidx, hp, hy, hw, nb)
-                else:
-                    self._ho_dev = (hp, hy, hw, nb)
+                    device_put_replicated)
+                hp, hy, hw, hidx = device_put_replicated(
+                    self._mesh, pp, yy, ww, np.zeros(1, np.int32))
+                self._ho_mesh = (hidx, hp, hy, hw, nb)
+            elif _jax.process_count() == 1:
+                self._ho_dev = (jnp.asarray(pp), jnp.asarray(yy),
+                                jnp.asarray(ww), nb)
 
         if cfg.resume and self.try_restore():
             print(f"+ resumed from checkpoint at iteration {self.iteration}")

@@ -260,3 +260,48 @@ def test_cli_two_process_resume(tmp_path):
     # and the resumed run logged its restored iteration
     log = open(rundir / "infer.log").read()
     assert "stopped at iteration 13" in log
+
+
+def test_cli_two_process_locality_matches_single(tmp_path):
+    """-mesh-locality across 2 processes (round 5): the locality
+    permutation is deterministic per graph, so every process derives the
+    same layout; the boundary-rows-only collectives plus the
+    report-batch trace must match the single-process locality run."""
+    graph = tmp_path / "n64.txt"
+    _write_n64_graph(graph)
+    port = _free_port()
+    base = ["-file", str(graph), "-n", "64", "-k", "4", "-link-sampling",
+            "-seed", "1", "-max-iterations", "10", "-no-stop",
+            "-rfreq", "1", "-report-batch", "5", "-mesh", "8",
+            "-mesh-locality"]
+    cmds = [[sys.executable, "-m", "svinet_tpu", *base, "-label", "locd",
+             "-dist-coordinator", f"localhost:{port}",
+             "-dist-nprocs", "2", "-dist-procid", str(pid)]
+            for pid in (0, 1)]
+    _run_pair(cmds, cwd=tmp_path)
+
+    rundir = tmp_path / "n64-k4-locd-seed1-linksampling"
+    assert (rundir / "gamma.txt").exists()
+    g_dist = np.array([l.split("\t")[2:]
+                       for l in open(rundir / "gamma.txt")], float)
+
+    from svinet_tpu.cli import main
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = main([*base, "-label", "locs"])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    srun = tmp_path / "n64-k4-locs-seed1-linksampling"
+    g_single = np.array([l.split("\t")[2:]
+                         for l in open(srun / "gamma.txt")], float)
+    np.testing.assert_allclose(g_dist, g_single, rtol=2e-2, atol=1e-3)
+    # the two runs share the deterministic locality permutation, so the
+    # heldout traces must line up row-for-row too
+    h_d = np.array([l.split()[2:] for l in open(rundir / "heldout.txt")],
+                   float)
+    h_s = np.array([l.split()[2:] for l in open(srun / "heldout.txt")],
+                   float)
+    assert h_d.shape == h_s.shape
+    np.testing.assert_allclose(h_d, h_s, rtol=2e-3, atol=2e-3)
