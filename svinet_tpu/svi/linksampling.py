@@ -726,6 +726,8 @@ class LinkSampling(EngineBase):
         d["annealing"] = bool(self.annealing)
         d["anneal_hist"] = [float(x) for x in
                             getattr(self, "_anneal_hist", [])]
+        d["anneal_decl"] = [float(getattr(self, "_anneal_decl", 0)),
+                            float(getattr(self, "_anneal_prev_h", 0.0))]
         if self.cfg.fuse_s3 or self.cfg.sparse_w:
             # the carried s3 state: without it a resumed fused run re-runs
             # one transient sweep with s3=0 and resume != uninterrupted
@@ -742,6 +744,10 @@ class LinkSampling(EngineBase):
         self.annealing = bool(state.get("annealing", False))
         self._anneal_hist = [float(x) for x in
                              state.get("anneal_hist", [])]
+        ad = state.get("anneal_decl")
+        if ad is not None:
+            self._anneal_decl = int(float(np.asarray(ad)[0]))
+            self._anneal_prev_h = float(np.asarray(ad)[1])
         m = state.get("mphi")
         if m is not None:
             self.mphi = (m if isinstance(m, jax.Array) else jnp.asarray(m))
@@ -1043,12 +1049,31 @@ class LinkSampling(EngineBase):
             drawdown = (mx - self.stopper.prev_h) / abs(mx) if mx else 0.0
             regressing = (self.stopper.since_max >= 2
                           and drawdown > self.cfg.anneal_drawdown)
-            if (genuine_plateau or regressing
+            # (c) SUSTAINED monotone decline: f32 wobble ALTERNATES, so
+            # >= ~24 sweeps of strictly declining reports is a genuine
+            # post-peak signal even when the drift is far too shallow
+            # for the drawdown exit (the reference ends annealing at its
+            # first decline streak, src/linksampling.cc:1036-1043;
+            # measured on the n=1M stretch: nshol declines monotonically
+            # at 7e-6/iteration relative — 11,000 sweeps from an 8%
+            # drawdown — while the fit is already converged)
+            prev2 = getattr(self, "_anneal_prev_h", None)
+            h_now = self.stopper.prev_h
+            if prev2 is not None and h_now < prev2:
+                self._anneal_decl = getattr(self, "_anneal_decl", 0) + 1
+            else:
+                self._anneal_decl = 0
+            self._anneal_prev_h = h_now
+            need = max(3, -(-24 // max(self.cfg.reportfreq, 1)))
+            sustained = self._anneal_decl >= need
+            if (genuine_plateau or regressing or sustained
                     or self.iteration >= 1000):   # runaway backstop
                 self.annealing = False
                 self.stopper.reset_after_annealing()
+                why = ("plateau" if genuine_plateau else
+                       "sustained-decline" if sustained else "no-improve")
                 self.log(f"annealing ended at iteration {self.iteration}"
-                         f" ({'plateau' if genuine_plateau else 'no-improve'})")
+                         f" ({why})")
             else:
                 self.stopper.nh = 0
             stop = False
