@@ -52,6 +52,9 @@ svinet [OPTIONS]
 \t-label <s>\ttag output directory
 \t-mesh <N>\tshard the link-sampling sweep across N devices
 \t-mesh-rowshard\talso shard gamma rows (for n*K beyond one chip's HBM)
+\t-mesh-locality\tnode-locality partition: boundary-rows-only collectives
+\t\t(implies -mesh-rowshard -fuse-s3)
+\t-sparse-w <W>\ttop-W union sweep for link-sampling at huge K
 \t-dist-coordinator <host:port>\tmulti-host coordinator address
 \t-dist-nprocs <N>\tnumber of hosts (launch one process per host)
 \t-dist-procid <I>\tthis host's process index
@@ -65,6 +68,7 @@ svinet [OPTIONS]
 \t-findk-width <W>\toverride -findk's sparse label slots per node
 \t-anneal-drawdown <d>\tannealing-exit drawdown threshold (default 0.08)
 \t-anneal-plateau-rate <r>\tannealing-exit plateau rate (default 1e-6)
+\t-anneal-decline-sweeps <s>\tsustained-decline annealing exit (default 24)
 """
 
 
@@ -146,6 +150,8 @@ def parse_args(argv: List[str]) -> Config:
             cfg.anneal_drawdown = float(nxt())
         elif a == "-anneal-plateau-rate":
             cfg.anneal_plateau_rate = float(nxt())
+        elif a == "-anneal-decline-sweeps":
+            cfg.anneal_decline_sweeps = int(nxt())
         elif a == "-findk-width":
             cfg.findk_width = int(nxt())
         elif a == "-fastqueue":

@@ -171,6 +171,10 @@ class Config:
     # tuned on assort/LFR/ca-AstroPh, sensitivity table in README §annealing)
     anneal_drawdown: float = 0.08   # relative nshol drop below best that
                                     # marks a regressing anneal
+    anneal_decline_sweeps: int = 24  # sustained monotone decline (in
+                                    # sweeps) that ends annealing —
+                                    # wobble alternates, genuine
+                                    # post-peak drift does not
     anneal_plateau_rate: float = 1e-6  # per-iteration relative-change rate
                                        # that counts as a genuine plateau
     findk_width: int = 0            # -findk sparse slots per node

@@ -1064,7 +1064,8 @@ class LinkSampling(EngineBase):
             else:
                 self._anneal_decl = 0
             self._anneal_prev_h = h_now
-            need = max(3, -(-24 // max(self.cfg.reportfreq, 1)))
+            need = max(3, -(-self.cfg.anneal_decline_sweeps
+                            // max(self.cfg.reportfreq, 1)))
             sustained = self._anneal_decl >= need
             if (genuine_plateau or regressing or sustained
                     or self.iteration >= 1000):   # runaway backstop
