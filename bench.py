@@ -210,19 +210,24 @@ def main() -> None:
         "stretch_fused_s3": stretch_fused,
         "stretch_fused_s3_bf16": stretch_bf16,
         # completed END-TO-END n=1M/k=500 inference run (STRETCH.md;
-        # tools/stretch_run.py --gen --run --score --fuse-s3 on the v5e,
-        # 2026-08-21): real heldout eval + nshol stopping + sharded
-        # checkpoints (restore verified), scored against the planted
-        # cover. Recorded, not rerun per bench call (the full pipeline is
-        # ~56 min; the prior unfused run did 6.24 Me/s at 4.633 s/sweep).
+        # tools/stretch_run.py --run --score --fuse-s3 --report-batch 8
+        # --rfreq 1 on the v5e, 2026-08-21, round 5): UNCAPPED —
+        # stopped by the stopper (why=1, declines) at iteration 436
+        # after the sustained-decline annealing exit at 433; per-SWEEP
+        # heldout rows via the row-sharded trace program's compact
+        # heldout tail; sharded-checkpoint resume exercised mid-run.
+        # Recorded, not rerun per bench call (the full pipeline is
+        # ~90 min).
         "stretch_e2e": {"n": 1_000_000, "k": 500,
                         "training_links": 28_889_673,
-                        "median_secs_per_sweep": 4.238,
-                        "sweep_meps": 6.82, "stop_iter": 100,
+                        "median_secs_per_sweep": 4.191,
+                        "sweep_meps": 6.89, "stop_iter": 436,
+                        "stop_why": 1, "uncapped": True,
                         "best_nshol": -0.00033,
-                        "nmi_vs_planted": 0.9134,
+                        "nmi_vs_planted": 0.9229,
                         "communities_found": 500,
-                        "fuse_s3": True},
+                        "fuse_s3": True, "report_batch": 8,
+                        "rfreq": 1},
     }))
 
 
