@@ -324,17 +324,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not cfg.link_sampling:
             raise SystemExit("-mesh-locality requires -link-sampling")
         cfg.mesh_devices = nd = max(cfg.mesh_devices, 1)
-        if network.n % nd:
-            print(f"+ -mesh-locality needs n % {nd} == 0; ignoring")
-            cfg.mesh_locality = False
-        else:
-            if not cfg.fuse_s3:
-                print("+ -mesh-locality implies -fuse-s3")
-                cfg.fuse_s3 = True
-            if not cfg.mesh_rowshard:
-                print("+ -mesh-locality implies -mesh-rowshard")
-                cfg.mesh_rowshard = True
-            network.reorder_locality(nd)
+        if not cfg.fuse_s3:
+            print("+ -mesh-locality implies -fuse-s3")
+            cfg.fuse_s3 = True
+        if not cfg.mesh_rowshard:
+            print("+ -mesh-locality implies -mesh-rowshard")
+            cfg.mesh_rowshard = True
+        network.reorder_locality(nd)
     if cfg.groups_file:
         # gt-group metadata; dumped to gt_groups.txt by EngineBase
         # (reference: src/network.cc:154, 721-775)

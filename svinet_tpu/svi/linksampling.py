@@ -554,7 +554,15 @@ class LinkSampling(EngineBase):
                 raise SystemExit(f"-mesh {nd} but only "
                                  f"{len(jax.devices())} devices visible")
             mesh = make_mesh(nd)
-            rowshard = cfg.mesh_rowshard and n % nd == 0
+            rowshard = bool(cfg.mesh_rowshard)
+            # row padding (round 5): n need not divide nd — gamma/deg/
+            # mphi gain (n_pad - n) virtual rows held at (alpha, 0),
+            # which no edge or eval pair ever references (the zero
+            # degree keeps the mean-indicator correction off them, so
+            # they sit at their alpha fixed point); host-facing
+            # consumers slice [:n]
+            n_pad = ((n + nd - 1) // nd) * nd if rowshard else n
+            self._n_pad = n_pad
             # -mesh-locality: boundary-rows-only collectives (requires
             # the fused row-sharded layout; cli.py sets the implied
             # flags and applies Network.reorder_locality first — any
@@ -566,7 +574,7 @@ class LinkSampling(EngineBase):
                 from svinet_tpu.parallel.locality import (
                     locality_edge_layout)
                 es, ms, exp_idx, linfo = locality_edge_layout(
-                    network.training_links, n, nd, block)
+                    network.training_links, n_pad, nd, block)
                 per_shard = linfo["per_shard"]
                 self._locality_info = linfo
                 cfg.plog("locality internal frac",
@@ -578,9 +586,13 @@ class LinkSampling(EngineBase):
             self.edges, self.mask = device_put_sharded_edges(mesh, es, ms)
             self._rowshard = rowshard
             self._mesh = mesh
-            if cfg.mesh_rowshard and not rowshard:
-                print(f"+ -mesh-rowshard needs n % {nd} == 0; "
-                      "falling back to replicated gamma")
+            if rowshard and n_pad != n:
+                self.gamma = jnp.concatenate([
+                    self.gamma,
+                    jnp.full((n_pad - n, k), cfg.alpha, jnp.float32)])
+                self.deg = jnp.concatenate([
+                    self.deg, jnp.zeros(n_pad - n, jnp.float32)])
+                cfg.plog("rowshard padded rows", n_pad - n)
             # rowshard composes with multi-host: the report/community/
             # checkpoint paths consume the global row-sharded array
             # directly (jitted eval over global arrays; text dumps via a
@@ -596,13 +608,13 @@ class LinkSampling(EngineBase):
                     # (the heldout tail always rides it)
                     self._exp_idx = global_put(exp_idx, row)
                     self.mphi = global_put(
-                        np.zeros((n, k), np.float32), row)
+                        np.zeros((n_pad, k), np.float32), row)
                 elif cfg.fuse_s3:
                     self._mesh_sweep = make_rowsharded_fused_multi_sweep(
                         mesh, per_shard // block,
                         bf16=bool(cfg.bf16_rows))
                     self.mphi = global_put(
-                        np.zeros((n, k), np.float32), row)
+                        np.zeros((n_pad, k), np.float32), row)
                 else:
                     self._mesh_sweep = make_rowsharded_multi_sweep(
                         mesh, per_shard // block)
@@ -691,8 +703,8 @@ class LinkSampling(EngineBase):
                 rowshard_heldout_layout, global_put)
             hidx, pp, yy, ww, nb = rowshard_heldout_layout(
                 network.validation_pairs,
-                network.validation_y.astype(np.int32), n,
-                cfg.mesh_devices)
+                network.validation_y.astype(np.int32),
+                getattr(self, "_n_pad", n), cfg.mesh_devices)
             row = NamedSharding(self._mesh, P("edges"))
             self._ho_mesh = tuple(
                 global_put(a, row) for a in (hidx, pp, yy, ww)
@@ -733,7 +745,8 @@ class LinkSampling(EngineBase):
             # one transient sweep with s3=0 and resume != uninterrupted
             m = getattr(self, "mphi", None)
             d["mphi"] = (m if m is not None
-                         else jnp.zeros((self.n, self.k), jnp.float32))
+                         else jnp.zeros((self.gamma.shape[0], self.k),
+                                        jnp.float32))
         if self._conv is not None:
             d["conv"] = self._conv   # -freeze sticky flags survive resume
         return d
@@ -760,6 +773,18 @@ class LinkSampling(EngineBase):
         (row-sharded gamma in -mesh-rowshard mode) — the state never
         stages through a single replicated host buffer."""
         return getattr(self, "_mesh_shardings", None)
+
+    def _eval_arrays(self):
+        """Row padding (rowshard with n % d != 0): the eval jits see
+        only the real n rows."""
+        g, l = super()._eval_arrays()
+        if getattr(self, "_n_pad", self.n) != self.n:
+            g = g[:self.n]
+        return g, l
+
+    def _host_gamma_lam(self):
+        g, l = super()._host_gamma_lam()
+        return g[:self.n], l
 
     # ------------------------------------------------------------------
     def step(self, n_sweeps: int = 1) -> None:
@@ -1129,6 +1154,7 @@ class LinkSampling(EngineBase):
         from svinet_tpu.io.checkpoint import host_read
         active = host_read(_active_counts(self.gamma,
                                           jnp.float32(self.cfg.alpha)))
+        active = active[:self.n]      # drop rowshard padding rows
         is_conv = active == 1
         newly = is_conv & (self._first_conv == 0)
         self._first_conv[newly] = max(self.duration(), 1)
